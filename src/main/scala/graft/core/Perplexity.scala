@@ -1,0 +1,115 @@
+package graft.core
+
+/** KenLM-style character n-gram perplexity scorer (north-star quality stage).
+  *
+  * Order-3 character LM with interpolated add-k smoothing over a byte-class
+  * alphabet (a-z, 0-9, space, other → 38 symbols). Trained once from an
+  * embedded seed corpus; the resulting model is a flat `Array[Float]` of
+  * conditional log-probs — compact (38^3 floats ≈ 220 KB), immutable and
+  * cheaply broadcastable, mirroring how a real KenLM binary would be shipped
+  * to executors (broadcast bytes + per-executor lazy decode).
+  *
+  * `perplexity(text)` = exp(-mean log P(c_i | c_{i-2} c_{i-1})). Lower is
+  * more natural text; gibberish and symbol soup score high.
+  */
+final class PerplexityModel private[core] (logProb: Array[Float]) extends Serializable {
+  import Perplexity._
+
+  def perplexity(text: String): Double = {
+    val lim = math.min(text.length, 8192)
+    if (lim == 0) return MaxPpl
+    var c2 = SpaceSym
+    var c1 = SpaceSym
+    var sum = 0.0
+    var n = 0
+    var i = 0
+    while (i < lim) {
+      val c0 = sym(text.charAt(i))
+      sum += logProb((c2 * A + c1) * A + c0)
+      n += 1
+      c2 = c1; c1 = c0
+      i += 1
+    }
+    math.min(math.exp(-sum / n), MaxPpl)
+  }
+
+  def logProbArray: Array[Float] = logProb
+}
+
+object Perplexity {
+  final val A = 38 // alphabet size: 26 letters + 10 digits + space + other
+  final val SpaceSym = 36
+  final val OtherSym = 37
+  final val MaxPpl = 1e6
+
+  def sym(c: Char): Int = {
+    val lc = Character.toLowerCase(c)
+    if (lc >= 'a' && lc <= 'z') lc - 'a'
+    else if (lc >= '0' && lc <= '9') 26 + (lc - '0')
+    else if (Character.isWhitespace(lc)) SpaceSym
+    else OtherSym
+  }
+
+  /** Train from corpus text with add-k interpolation of orders 3/2/1. */
+  def train(corpus: String, k: Double = 0.1): PerplexityModel = {
+    val c3 = new Array[Int](A * A * A)
+    val c2 = new Array[Int](A * A)
+    val c1 = new Array[Int](A)
+    var p2 = SpaceSym
+    var p1 = SpaceSym
+    var total = 0L
+    corpus.foreach { ch =>
+      val c0 = sym(ch)
+      c3((p2 * A + p1) * A + c0) += 1
+      c2(p1 * A + c0) += 1
+      c1(c0) += 1
+      total += 1
+      p2 = p1; p1 = c0
+    }
+    val lp = new Array[Float](A * A * A)
+    var i2 = 0
+    while (i2 < A) {
+      var i1 = 0
+      while (i1 < A) {
+        // context totals
+        var ctx3 = 0L
+        var c = 0
+        while (c < A) { ctx3 += c3((i2 * A + i1) * A + c); c += 1 }
+        var ctx2 = 0L
+        c = 0
+        while (c < A) { ctx2 += c2(i1 * A + c); c += 1 }
+        c = 0
+        while (c < A) {
+          val p3 = (c3((i2 * A + i1) * A + c) + k) / (ctx3 + k * A)
+          val p2u = (c2(i1 * A + c) + k) / (ctx2 + k * A)
+          val p1u = (c1(c) + k) / (total + k * A)
+          val p = 0.6 * p3 + 0.3 * p2u + 0.1 * p1u
+          lp((i2 * A + i1) * A + c) = math.log(p).toFloat
+          c += 1
+        }
+        i1 += 1
+      }
+      i2 += 1
+    }
+    new PerplexityModel(lp)
+  }
+
+  private val seedCorpus: String =
+    ("the quick brown fox jumps over the lazy dog " +
+      "a small group of people walked along the quiet street in the early morning " +
+      "she opened the window and looked out at the garden where flowers grew " +
+      "the report shows that most users read the first page and then move on " +
+      "data processing systems read rows from tables filter them and write results " +
+      "every year thousands of students learn to write clear and simple sentences " +
+      "the weather today is warm with a light wind from the west and clear skies " +
+      "please contact our support team if you have any questions about the order " +
+      "the library opens at nine in the morning and closes at eight in the evening " +
+      "he finished his work early and spent the afternoon reading a good book " +
+      "the company plans to open three new offices in the next two years " +
+      "water flows down the river past the old bridge and into the wide sea " +
+      "children play in the park while their parents talk near the long benches " +
+      "the meeting starts at ten and we expect it to last about one hour " +
+      "numbers like 12345 and 2024 appear in normal text without breaking it ") * 2
+
+  lazy val default: PerplexityModel = train(seedCorpus)
+}

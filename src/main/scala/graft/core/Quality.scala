@@ -1,0 +1,102 @@
+package graft.core
+
+/** Gopher/C4-style heuristic quality rules (north-star quality stage).
+  *
+  * Pure text → metrics → keep/drop. The metric definitions are deliberately
+  * expressible in ANSI SQL (whitespace tokenization, ratio = count/count) so
+  * the DuckDB oracle can recompute them; the Spark layer can evaluate most of
+  * them either through this core (UDF) or as native Catalyst expressions —
+  * both paths are tested to agree.
+  */
+object Quality {
+
+  /** Tokenize on whitespace runs, dropping empties (matches SQL
+    * `string_split_regex(text, '\s+')` + non-empty filter). */
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Compact English stopword set shared verbatim with the oracle SQL. */
+  val Stopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  final case class Metrics(
+      nChars: Long,
+      nWords: Long,
+      meanWordLen: Double,
+      stopwordRatio: Double,
+      symbolRatio: Double,
+      dupLineFrac: Double,
+      dupWordFrac: Double,
+      alphaWordRatio: Double,
+      maxWordLen: Long)
+
+  def metrics(text: String): Metrics = {
+    val toks = tokens(text)
+    val nW = toks.length.toLong
+    val nC = text.length.toLong
+    val stop = toks.count(Stopwords.contains)
+    val alphaWords = toks.count(_.exists(Character.isLetter))
+    val sumLen = toks.iterator.map(_.length.toLong).sum
+    val maxLen = if (toks.isEmpty) 0L else toks.iterator.map(_.length).max.toLong
+    var symbols = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) symbols += 1
+      i += 1
+    }
+    val lines = text.split("\n", -1)
+    val dupLines =
+      if (lines.length == 0) 0.0
+      else 1.0 - lines.distinct.length.toDouble / lines.length
+    val dupWords = if (nW == 0) 0.0 else 1.0 - toks.distinct.length.toDouble / nW
+    Metrics(
+      nChars = nC,
+      nWords = nW,
+      meanWordLen = if (nW == 0) 0.0 else sumLen.toDouble / nW,
+      stopwordRatio = if (nW == 0) 0.0 else stop.toDouble / nW,
+      symbolRatio = if (nC == 0) 0.0 else symbols.toDouble / nC,
+      dupLineFrac = dupLines,
+      dupWordFrac = dupWords,
+      alphaWordRatio = if (nW == 0) 0.0 else alphaWords.toDouble / nW,
+      maxWordLen = maxLen)
+  }
+
+  /** Thresholds. Defaults tuned Gopher-ish but permissive; a real deployment
+    * tunes per corpus. All comparisons are strict-fail so the SQL oracle can
+    * mirror them with the same operators. */
+  final case class Conf(
+      minChars: Long = 40L,
+      maxChars: Long = 1000000L,
+      minWords: Long = 5L,
+      maxWords: Long = 200000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 14.0,
+      maxSymbolRatio: Double = 0.10,
+      minStopwordRatio: Double = 0.01,
+      minAlphaWordRatio: Double = 0.5,
+      maxDupLineFrac: Double = 0.30,
+      maxDupWordFrac: Double = 0.95,
+      maxWordLen: Long = 60L,
+      maxPpl: Double = 80.0)
+
+  /** keep + first-failing-rule drop reason ("" when kept). Rule order is part
+    * of the contract (first failure wins). */
+  def decide(m: Metrics, ppl: Double, conf: Conf = Conf()): (Boolean, String) = {
+    if (m.nChars < conf.minChars) (false, "too_short")
+    else if (m.nChars > conf.maxChars) (false, "too_long")
+    else if (m.nWords < conf.minWords) (false, "too_few_words")
+    else if (m.nWords > conf.maxWords) (false, "too_many_words")
+    else if (m.meanWordLen < conf.minMeanWordLen) (false, "mean_word_len_low")
+    else if (m.meanWordLen > conf.maxMeanWordLen) (false, "mean_word_len_high")
+    else if (m.maxWordLen > conf.maxWordLen) (false, "max_word_len")
+    else if (m.symbolRatio > conf.maxSymbolRatio) (false, "symbol_ratio")
+    else if (m.stopwordRatio < conf.minStopwordRatio) (false, "stopword_ratio")
+    else if (m.alphaWordRatio < conf.minAlphaWordRatio) (false, "alpha_word_ratio")
+    else if (m.dupLineFrac > conf.maxDupLineFrac) (false, "dup_lines")
+    else if (m.dupWordFrac > conf.maxDupWordFrac) (false, "dup_words")
+    else if (ppl > conf.maxPpl) (false, "perplexity")
+    else (true, "")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.core
+
+import scala.util.hashing.MurmurHash3
+
+/** Pure dedup / similarity math: shingles, MinHash, SimHash, rolling-hash
+  * fingerprints. All hashing is seeded MurmurHash3 (JVM-stable, platform
+  * independent) so results are deterministic across executors and runs.
+  *
+  * The Spark layer turns these into distributed operators (LSH band-bucket
+  * joins, hamming-neighbor joins); the math here is single-document and
+  * allocation-light so it stays cheap inside codegen'd UDF calls.
+  */
+object TextDedup {
+
+  /** Word k-shingles over whitespace tokens. */
+  def shingles(text: String, k: Int): Array[String] = {
+    val toks = Quality.tokens(text)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+    } else
+      Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+  }
+
+  /** Exact Jaccard over shingle sets (test oracle for the approximate paths). */
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  /** MinHash signature: numHashes seeded-murmur minima over the shingle set.
+    * Empty docs get a sentinel signature (Int.MaxValue everywhere). */
+  def minHash(text: String, k: Int, numHashes: Int): Array[Int] = {
+    val sig = Array.fill(numHashes)(Int.MaxValue)
+    shingles(text, k).foreach { s =>
+      var i = 0
+      while (i < numHashes) {
+        val h = MurmurHash3.stringHash(s, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys: signature split into `bands` contiguous row groups, each
+    * hashed to one bucket key. Docs sharing ANY band key are candidates. */
+  def bandKeys(sig: Array[Int], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      val h = MurmurHash3.arrayHash(sig.slice(b * rows, (b + 1) * rows), b)
+      (b.toLong << 32) | (h.toLong & 0xffffffffL)
+    }
+  }
+
+  /** Estimated Jaccard from two signatures. */
+  def sigSimilarity(a: Array[Int], b: Array[Int]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** 64-bit SimHash over word unigrams (unweighted votes). */
+  def simHash(text: String): Long = {
+    val votes = new Array[Int](64)
+    Quality.tokens(text).foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Stable 64-bit hash from two seeded murmur32s. */
+  def hash64(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the normalized document (lowercase,
+    * whitespace runs folded) — the "document fingerprinting" primitive. */
+  def fingerprint(text: String): Long = {
+    var h = 1125899906842597L
+    var lastSpace = true
+    var i = 0
+    while (i < text.length) {
+      val c0 = Character.toLowerCase(text.charAt(i))
+      val ws = Character.isWhitespace(c0)
+      if (!ws) { h = h * 31 + c0; lastSpace = false }
+      else if (!lastSpace) { h = h * 31 + ' '; lastSpace = true }
+      i += 1
+    }
+    h
+  }
+}
