@@ -1,13 +1,404 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Quality
+import graft.spark.{Ann, DataGen, Dedup, Pipeline, PiiFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7.5): one named query per implemented
+  * operator + a DuckDB-equivalent oracle where the op is SQL-expressible.
+  *
+  * Oracle-parity rules used throughout (the driver hashes values after
+  * sorting columns by name):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - ratios are emitted as `floor(1000.0 * a / b)` integers — both engines
+  *    do the identical IEEE double divide, so no float-hash drift;
+  *  - float sums are per-row `floor(x*100)` cents summed as integers —
+  *    summation-order independent;
+  *  - embeddings are quantized `floor(double(x)*1000)` before dot products;
+  *  - PII-bearing and duplicate-bearing inputs are SYNTHESIZED INSIDE the
+  *    query from `documents` with deterministic SQL both engines share
+  *    (the raw table has neither PII nor dups, which would make the checks
+  *    vacuous).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared input builders (Spark side) --------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** documents with deterministic planted PII (mirrors `piiCte`). */
+  private def docsPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, dir).withColumn("text", concat(
+      col("text"),
+      when(id % 3 =!= 0, concat(lit(" contact u"), id.cast("string"), lit("@ex.com")))
+        .otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" call 0"), (id % 9 + 1).cast("string"),
+        lit("-1234-"), (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(id % 5 < 2, concat(lit(" pay ¥"), (id % 9 + 1).cast("string"), lit(","),
+        lpad((id % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
+      when(id % 7 < 3, concat(lit(" ref ACC-"), (id % 90000 + 10000).cast("string")))
+        .otherwise(lit(""))))
+  }
+
+  /** documents with planted exact + near duplicates (mirrors `dedupCte`). */
+  private def docsDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .unionAll(base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+  }
+
+  // ---- shared SQL fragments (DuckDB side) ---------------------------------
+
+  private val piiCte =
+    "WITH docs AS (SELECT doc_id, text" +
+      " || CASE WHEN doc_id % 3 <> 0 THEN ' contact u' || doc_id || '@ex.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 2 = 0 THEN ' call 0' || (doc_id % 9 + 1) || '-1234-' || (doc_id % 9000 + 1000) ELSE '' END" +
+      " || CASE WHEN doc_id % 5 < 2 THEN ' pay ¥' || (doc_id % 9 + 1) || ',' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 7 < 3 THEN ' ref ACC-' || (doc_id % 90000 + 10000) ELSE '' END" +
+      " AS text, lang, source FROM documents)"
+
+  private val dedupCte =
+    "WITH ddocs AS (SELECT doc_id, text FROM documents" +
+      " UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0" +
+      " UNION ALL SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents WHERE doc_id % 7 = 0)"
+
+  private val reEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val rePhone = """(?:0\d{1,4}-\d{1,4}-\d{3,4})|(?:\+81-\d{1,4}-\d{1,4}-\d{3,4})"""
+  private val reAmount = """(?:¥|JPY)?\s?\d{1,3}(?:,\d{3})+"""
+  private val reId = """\b(?:ACC|USR|ORD)-\d{4,6}\b"""
+
+  // whitespace tokens of lower(text), empties dropped — Spark expression twin
+  // of DuckDB `list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')`
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+
+  private val stopList: Seq[String] = Quality.Stopwords.toSeq.sorted
+  private val stopSqlList: String = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---- flagship ------------------------------------------------------------
+
+  /** Flagship: the full quality-filter + scrub pipeline over a generated
+    * Common-Crawl-style pages table (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark, DataGen.pages(spark, 2000).toDF())
+
+  // ---- queries -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- detection / scrub (SURVEY ops 7, 8, 18, 23, 24) --
+    "q_detect_counts" -> ((s, dir) =>
+      docsPii(s, dir)
+        .select(explode(PiiFunctions.classifyUdf(col("text"))).as("h"))
+        .groupBy(col("h.kind").as("kind")).agg(count(lit(1)).as("n"))),
+
+    "q_scrub_tag" -> ((s, dir) =>
+      docsPii(s, dir).select(col("doc_id"),
+        PiiFunctions.scrubTagsUdf(col("text")).as("scrubbed"))),
+
+    "q_scrub_dict_stats" -> ((s, dir) => {
+      val r = docsPii(s, dir).select(col("doc_id"),
+        PiiFunctions.scrubDictRefOrderUdf(col("text")).as("r"))
+      r.select(col("doc_id"),
+        coalesce(element_at(col("r.counts"), "email"), lit(0L)).as("n_email"),
+        coalesce(element_at(col("r.counts"), "phone"), lit(0L)).as("n_phone"),
+        coalesce(element_at(col("r.counts"), "amount"), lit(0L)).as("n_amount"),
+        coalesce(element_at(col("r.counts"), "id"), lit(0L)).as("n_id"),
+        size(col("r.aliases")).cast("long").as("n_alias"))
+    }),
+
+    "q_pii_found" -> ((s, dir) =>
+      docsPii(s, dir).groupBy(col("source"))
+        .agg(sum(when(size(PiiFunctions.classifyUdf(col("text"))) > 0, 1L)
+          .otherwise(0L)).as("n_pii"), count(lit(1)).as("n"))),
+
+    // -- quality rules (north-star heuristics; SURVEY §7.2 step 4) --
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("t", toksCol)
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          size(filter(col("t"), t => array_contains(typedLit(stopList), t)))
+            .cast("long").as("stop_cnt"),
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+            .cast("long").as("sym_cnt"),
+          when(size(col("t")) === 0, 1000L).otherwise(
+            floor(lit(1000.0) * size(array_distinct(col("t"))) / size(col("t"))))
+            .as("distw_milli"))),
+
+    "q_keep_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), col("text"))
+        .withColumn("t", toksCol)
+        .withColumn("n_words", size(col("t")).cast("long"))
+        .withColumn("stop_cnt",
+          size(filter(col("t"), t => array_contains(typedLit(stopList), t))).cast("long"))
+        .withColumn("sym_cnt",
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("long"))
+        .withColumn("distw_milli", when(col("n_words") === 0, 1000L).otherwise(
+          floor(lit(1000.0) * size(array_distinct(col("t"))) / col("n_words"))))
+        .withColumn("keep_heur",
+          col("n_words") >= 5 && col("stop_cnt") * 100 >= col("n_words") &&
+            col("sym_cnt") * 10 <= length(col("text")) && col("distw_milli") >= 50)
+        .groupBy(col("lang"), col("keep_heur")).agg(count(lit(1)).as("n"))),
+
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).withColumn("t", toksCol)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("t")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))),
+
+    "q_langdist" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))),
+
+    "q_doclen_hist" -> ((s, dir) =>
+      docs(s, dir).groupBy(floor(col("n_chars") / lit(100)).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // -- dedup family (training-pipeline ops) --
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docsDedup(s, dir), "doc_id", "text")),
+
+    "q_dup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsDedup(s, dir), "doc_id", "text",
+        shingleK = 3, minSimMilli = 500)),
+
+    "q_dup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(docsDedup(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+
+    "q_dup_simhash" -> ((s, dir) =>
+      Dedup.simHashDups(docsDedup(s, dir), "doc_id", "text", maxDist = 3)),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
+        minDotQ = 380000L)),
+
+    // -- similarity search --
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      e.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), Ann.dotQuantized(col("embedding"), typedLit(q)).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      // 6 bits → 64 buckets: sized for the small test table (bucket population
+      // ≈ N/64 × 7 probes); at cluster scale nBits grows with log2(N)
+      Ann.lshTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 6)
+    }),
+
+    // -- relational analogs (SURVEY ops 20-22, 26-27) --
+    "q_window_delta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("event_id"),
+        coalesce(unix_millis(col("ts").cast("timestamp")) - lag(unix_millis(col("ts").cast("timestamp")), 1).over(w),
+          lit(-1L)).as("delta_ms"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("delta",
+          unix_millis(col("ts").cast("timestamp")) - lag(unix_millis(col("ts").cast("timestamp")), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("delta").isNull || col("delta") > 1800000L, 1L)
+          .otherwise(0L)).as("n_sessions"))
+    }),
+
+    "q_event_stats" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"), col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))),
+
+    "q_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    }),
+
+    "q_lineitem_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          count(lit(1)).as("n"))),
+
+    // -- rows-only (no SQL oracle; covered by ScalaTest suites) --
+    "q_pipeline" -> ((s, _) =>
+      Pipeline.run(s, DataGen.pages(s, 2000).toDF())
+        .drop("alias_dict", "n_hits", "quality")),
+
+    "q_langid" -> ((s, dir) => {
+      val b = s.sparkContext.broadcast(graft.core.LangId.default)
+      docs(s, dir).select(col("doc_id"),
+        PiiFunctions.langIdUdf(b)(col("text")).as("g"))
+        .select(col("doc_id"), col("g.lang").as("lang_id"),
+          floor(col("g.conf") * 1000).cast("long").as("conf_milli"))
+    }),
+
+    "q_ppl" -> ((s, dir) => {
+      val b = s.sparkContext.broadcast(graft.core.Perplexity.default)
+      docs(s, dir).select(col("doc_id"),
+        floor(PiiFunctions.perplexityUdf(b)(col("text")) * 100).cast("long")
+          .as("ppl_centi"))
+    }),
+
+    "q_scrub_ref" -> ((s, dir) =>
+      docsPii(s, dir).select(col("doc_id"),
+        PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
+          .as("scrubbed")))
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_detect_counts" -> (piiCte +
+      ", hits AS (" +
+      s" SELECT 'email' AS kind, len(regexp_extract_all(text, '$reEmail')) AS n FROM docs" +
+      s" UNION ALL SELECT 'phone', len(regexp_extract_all(text, '$rePhone')) FROM docs" +
+      s" UNION ALL SELECT 'amount', len(regexp_extract_all(text, '$reAmount')) FROM docs" +
+      s" UNION ALL SELECT 'id', len(regexp_extract_all(text, '$reId')) FROM docs)" +
+      " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM hits GROUP BY kind HAVING SUM(n) > 0"),
+
+    "q_scrub_tag" -> (piiCte +
+      " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(text," +
+      s" '$reEmail', '<EMAIL>', 'g'), '$rePhone', '<PHONE>', 'g')," +
+      s" '$reAmount', '<AMOUNT>', 'g'), '$reId', '<ID>', 'g') AS scrubbed FROM docs"),
+
+    "q_scrub_dict_stats" -> (piiCte +
+      s" SELECT doc_id, CAST(len(regexp_extract_all(text, '$reEmail')) AS BIGINT) AS n_email," +
+      s" CAST(len(regexp_extract_all(text, '$rePhone')) AS BIGINT) AS n_phone," +
+      s" CAST(len(regexp_extract_all(text, '$reAmount')) AS BIGINT) AS n_amount," +
+      s" CAST(len(regexp_extract_all(text, '$reId')) AS BIGINT) AS n_id," +
+      s" CAST(len(list_distinct(regexp_extract_all(text, '$reEmail')))" +
+      s" + len(list_distinct(regexp_extract_all(text, '$rePhone')))" +
+      s" + len(list_distinct(regexp_extract_all(text, '$reAmount')))" +
+      s" + len(list_distinct(regexp_extract_all(text, '$reId'))) AS BIGINT) AS n_alias FROM docs"),
+
+    "q_pii_found" -> (piiCte +
+      s" SELECT source, CAST(SUM(CASE WHEN regexp_matches(text, '$reEmail')" +
+      s" OR regexp_matches(text, '$rePhone') OR regexp_matches(text, '$reAmount')" +
+      s" OR regexp_matches(text, '$reId') THEN 1 ELSE 0 END) AS BIGINT) AS n_pii," +
+      " COUNT(*) AS n FROM docs GROUP BY source"),
+
+    "q_quality" -> ("WITH t AS (SELECT doc_id, text," +
+      " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)" +
+      " SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words," +
+      s" CAST(len(list_filter(toks, x -> list_contains($stopSqlList, x))) AS BIGINT) AS stop_cnt," +
+      " CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS sym_cnt," +
+      " CAST(CASE WHEN len(toks) = 0 THEN 1000 ELSE floor(1000.0 * len(list_distinct(toks)) / len(toks)) END AS BIGINT) AS distw_milli" +
+      " FROM t"),
+
+    "q_keep_stats" -> ("WITH t AS (SELECT lang, text," +
+      " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)," +
+      " m AS (SELECT lang, len(toks) AS n_words," +
+      s" len(list_filter(toks, x -> list_contains($stopSqlList, x))) AS stop_cnt," +
+      " length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS sym_cnt," +
+      " CASE WHEN len(toks) = 0 THEN 1000 ELSE floor(1000.0 * len(list_distinct(toks)) / len(toks)) END AS distw_milli," +
+      " length(text) AS n_chars FROM t)" +
+      " SELECT lang, (n_words >= 5 AND stop_cnt * 100 >= n_words AND sym_cnt * 10 <= n_chars" +
+      " AND distw_milli >= 50) AS keep_heur, COUNT(*) AS n FROM m GROUP BY lang, keep_heur"),
+
+    "q_token_stats" -> ("WITH t AS (SELECT lang, text," +
+      " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)" +
+      " SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens," +
+      " CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM t GROUP BY lang"),
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    "q_langdist" ->
+      "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source",
+
+    "q_doclen_hist" ->
+      "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS n FROM documents GROUP BY bucket",
+
+    "q_exact_dedup" -> (dedupCte +
+      " SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies FROM ddocs GROUP BY md5(text)"),
+
+    "q_dup_jaccard" -> (dedupCte +
+      ", toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM ddocs)" +
+      ", sh AS (SELECT id, UNNEST(list_distinct(CASE WHEN len(t) = 0 THEN []::VARCHAR[]" +
+      " WHEN len(t) < 3 THEN [array_to_string(t, ' ')]" +
+      " ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s FROM toks)" +
+      ", sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)" +
+      ", inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)" +
+      " SELECT a, b, CAST(i AS BIGINT) AS inter, CAST(na.n + nb.n - i AS BIGINT) AS union_n," +
+      " CAST(floor(1000 * i / (na.n + nb.n - i)) AS BIGINT) AS sim_milli" +
+      " FROM inter JOIN sz na ON na.id = a JOIN sz nb ON nb.id = b" +
+      " WHERE floor(1000 * i / (na.n + nb.n - i)) >= 500"),
+
+    "q_embed_neardup" ->
+      ("SELECT x.vec_id AS a, y.vec_id AS b," +
+        " CAST(list_sum(list_transform(range(1, len(x.embedding) + 1)," +
+        " i -> CAST(floor(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)" +
+        " * CAST(floor(CAST(y.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q" +
+        " FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id" +
+        " WHERE list_sum(list_transform(range(1, len(x.embedding) + 1)," +
+        " i -> CAST(floor(CAST(x.embedding[i] AS DOUBLE) * 1000) AS BIGINT)" +
+        " * CAST(floor(CAST(y.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) >= 380000"),
+
+    "q_ann_topk" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)" +
+        " SELECT e.vec_id, CAST(list_sum(list_transform(range(1, len(e.embedding) + 1)," +
+        " i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)" +
+        " * CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q" +
+        " FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY dot_q DESC, e.vec_id LIMIT 10"),
+
+    "q_window_delta" ->
+      ("SELECT event_id, COALESCE(epoch_ms(ts) - lag(epoch_ms(ts)) OVER" +
+        " (PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_ms FROM events"),
+
+    "q_sessionize" ->
+      ("WITH d AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER" +
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events)" +
+        " SELECT user_id, CAST(SUM(CASE WHEN delta IS NULL OR delta > 1800000 THEN 1 ELSE 0 END) AS BIGINT)" +
+        " AS n_sessions FROM d GROUP BY user_id"),
+
+    "q_event_stats" ->
+      ("SELECT user_id, event_type, COUNT(*) AS n," +
+        " CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents" +
+        " FROM events GROUP BY user_id, event_type"),
+
+    "q_join_agg" ->
+      ("SELECT c_nationkey AS nation, COUNT(*) AS n," +
+        " CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents" +
+        " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"),
+
+    "q_lineitem_agg" ->
+      ("SELECT l_returnflag, l_linestatus," +
+        " CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents," +
+        " CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents," +
+        " COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus")
+  )
 }

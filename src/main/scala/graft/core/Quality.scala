@@ -15,10 +15,22 @@ object Quality {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
-  /** Compact English stopword set shared verbatim with the oracle SQL. */
+  /** Compact multilingual (en/es/de/fr) stopword set, shared verbatim with
+    * the oracle SQL. CJK text is handled by rule gating instead (see
+    * [[decide]]) — space-tokenized stopword matching is meaningless there. */
   val Stopwords: Set[String] = Set(
+    // en
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-    "on", "for", "with", "as", "at", "by", "be", "this", "that", "from")
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "from",
+    // es
+    "el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+    "del", "se", "con", "por", "su", "para", "es", "al", "lo", "como",
+    // de
+    "der", "die", "das", "und", "ist", "von", "den", "im", "mit", "sich",
+    "des", "auf", "ein", "eine", "um", "am", "dem", "zu", "nicht", "uber",
+    // fr
+    "le", "les", "et", "dans", "est", "pour", "qui", "sur", "pas",
+    "plus", "par", "avec", "son", "une", "ses", "aux", "ce", "il", "du")
 
   final case class Metrics(
       nChars: Long,
@@ -29,7 +41,8 @@ object Quality {
       dupLineFrac: Double,
       dupWordFrac: Double,
       alphaWordRatio: Double,
-      maxWordLen: Long)
+      maxWordLen: Long,
+      cjkRatio: Double)
 
   def metrics(text: String): Metrics = {
     val toks = tokens(text)
@@ -40,10 +53,17 @@ object Quality {
     val sumLen = toks.iterator.map(_.length.toLong).sum
     val maxLen = if (toks.isEmpty) 0L else toks.iterator.map(_.length).max.toLong
     var symbols = 0L
+    var letters = 0L
+    var cjk = 0L
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) symbols += 1
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+          b == Character.UnicodeScript.KATAKANA || b == Character.UnicodeScript.HANGUL) cjk += 1
+      } else if (!Character.isDigit(c) && !Character.isWhitespace(c)) symbols += 1
       i += 1
     }
     val lines = text.split("\n", -1)
@@ -60,7 +80,8 @@ object Quality {
       dupLineFrac = dupLines,
       dupWordFrac = dupWords,
       alphaWordRatio = if (nW == 0) 0.0 else alphaWords.toDouble / nW,
-      maxWordLen = maxLen)
+      maxWordLen = maxLen,
+      cjkRatio = if (letters == 0) 0.0 else cjk.toDouble / letters)
   }
 
   /** Thresholds. Defaults tuned Gopher-ish but permissive; a real deployment
@@ -82,21 +103,29 @@ object Quality {
       maxPpl: Double = 80.0)
 
   /** keep + first-failing-rule drop reason ("" when kept). Rule order is part
-    * of the contract (first failure wins). */
+    * of the contract (first failure wins).
+    *
+    * Word-shape rules (word counts/lengths, stopwords, alpha ratio) and the
+    * char-LM perplexity are GATED OFF for CJK-dominant text (cjkRatio > 0.3):
+    * Gopher/C4 heuristics are space-tokenization-specific and our embedded LM
+    * is Latin-alphabet; applying them would drop all ja/zh prose. Length,
+    * symbol-density and line-dedup rules remain in force. (Production path:
+    * per-script tokenizers + per-language LMs, same rule frame.) */
   def decide(m: Metrics, ppl: Double, conf: Conf = Conf()): (Boolean, String) = {
+    val cjk = m.cjkRatio > 0.3
     if (m.nChars < conf.minChars) (false, "too_short")
     else if (m.nChars > conf.maxChars) (false, "too_long")
-    else if (m.nWords < conf.minWords) (false, "too_few_words")
+    else if (!cjk && m.nWords < conf.minWords) (false, "too_few_words")
     else if (m.nWords > conf.maxWords) (false, "too_many_words")
-    else if (m.meanWordLen < conf.minMeanWordLen) (false, "mean_word_len_low")
-    else if (m.meanWordLen > conf.maxMeanWordLen) (false, "mean_word_len_high")
-    else if (m.maxWordLen > conf.maxWordLen) (false, "max_word_len")
+    else if (!cjk && m.meanWordLen < conf.minMeanWordLen) (false, "mean_word_len_low")
+    else if (!cjk && m.meanWordLen > conf.maxMeanWordLen) (false, "mean_word_len_high")
+    else if (!cjk && m.maxWordLen > conf.maxWordLen) (false, "max_word_len")
     else if (m.symbolRatio > conf.maxSymbolRatio) (false, "symbol_ratio")
-    else if (m.stopwordRatio < conf.minStopwordRatio) (false, "stopword_ratio")
-    else if (m.alphaWordRatio < conf.minAlphaWordRatio) (false, "alpha_word_ratio")
+    else if (!cjk && m.stopwordRatio < conf.minStopwordRatio) (false, "stopword_ratio")
+    else if (!cjk && m.alphaWordRatio < conf.minAlphaWordRatio) (false, "alpha_word_ratio")
     else if (m.dupLineFrac > conf.maxDupLineFrac) (false, "dup_lines")
     else if (m.dupWordFrac > conf.maxDupWordFrac) (false, "dup_words")
-    else if (ppl > conf.maxPpl) (false, "perplexity")
+    else if (!cjk && ppl > conf.maxPpl) (false, "perplexity")
     else (true, "")
   }
 }

@@ -1,0 +1,102 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k, expressed entirely with native
+  * higher-order functions (`zip_with`/`aggregate` stay inside whole-stage
+  * codegen — no UDF boxing in the hot loop).
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a `nBits`-bit sign
+  * signature against a deterministic hyperplane set; queries probe their own
+  * bucket plus all hamming-1 neighbors (multiprobe), so the scan narrows from
+  * N to the bucket population while recall stays high. At cluster scale the
+  * bucketed table would be written bucketed-by signature so probes become
+  * partition-pruned scans.
+  */
+object Ann {
+
+  /** Cosine similarity between two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
+    dot / (na * nb + lit(1e-12))
+  }
+
+  /** Integer-quantized dot product (floor(x*1000) per element) — exact,
+    * summation-order-independent, so an SQL oracle reproduces it. */
+  def dotQuantized(a: Column, b: Column): Column =
+    aggregate(
+      // cast to double BEFORE scaling: float32→float64 is exact and both
+      // engines then do the same IEEE double multiply, so floor() agrees
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * 1000).cast("long") * floor(y.cast("double") * 1000).cast("long")),
+      lit(0L), (s, v) => s + v)
+
+  /** Brute-force top-k by cosine against one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val qc = typedLit(query)
+    df.select(col(idCol), cosine(col(embCol), qc).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane set: plane i, dim j from a seeded splitmix64
+    * stream (no RNG state shipped — recomputable anywhere). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { j =>
+        var x = seed + i.toLong * 1000003L + j.toLong + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x = x ^ (x >>> 31)
+        // map to [-1, 1)
+        ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+    }
+
+  /** Sign signature of an embedding against the planes. */
+  def signature(emb: Column, planes: Array[Array[Float]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(zip_with(emb, typedLit(p), (x, w) => x * w),
+        lit(0.0d), (s, v) => s + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH top-k: `tables` independent hyperplane sets; a row is a candidate if
+    * ANY table puts it within hamming distance ≤ 2 of the query's signature
+    * (multiprobe). Candidates are then ranked by exact cosine. Multiple
+    * tables + multiprobe is the standard recall lever — a single random-
+    * hyperplane table has recall ≈ p^nBits which collapses for mid-similarity
+    * neighbors. At cluster scale the signature columns are precomputed and
+    * the table is bucketed by them, turning probes into pruned scans. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Array[Float], k: Int, nBits: Int = 12,
+              tables: Int = 3, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val allPlanes = (0 until tables).map(t => hyperplanes(nBits, dim, seed + t * 7919L))
+    val qSig: Array[Long] = allPlanes.map { planes =>
+      var s = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += p(j).toDouble * query(j); j += 1 }
+        if (d >= 0) s |= (1L << i)
+      }
+      s
+    }.toArray
+    val candidate = allPlanes.zipWithIndex.map { case (planes, t) =>
+      bit_count(signature(col(embCol), planes).bitwiseXOR(lit(qSig(t)))) <= 2
+    }.reduce(_ || _)
+    df.where(candidate)
+      .select(col(idCol), cosine(col(embCol), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Column-level surface for the core text operators.
+  *
+  * Everything here is a deterministic Scala UDF over the pure `graft.core`
+  * functions (the reference's per-request Python logic collapsed into
+  * per-row JVM calls — SURVEY.md §3). Regex `Pattern`s and models live in
+  * JVM-level lazy vals, compiled once per executor — the Spark analog of the
+  * reference's module-level precompiled regexes and `lru_cache`d models
+  * (app/detectors.py:15-25,64-74). All UDFs are marked `asNondeterministic`
+  * NEVER — determinism lets Catalyst freely reorder/cache them.
+  *
+  * Where a stage carries real model state (langid, perplexity) the
+  * broadcast-taking variants ship the model once per executor instead of
+  * serializing it into every task closure.
+  */
+object PiiFunctions {
+
+  /** detect_pii: full detector stack → array<struct Hit>. */
+  val detectAllUdf = udf((text: String) =>
+    if (text == null) Vector.empty[Hit] else Detect.detectAll(text))
+
+  /** classify_by_regex only (email/phone/amount/id). */
+  val classifyUdf = udf((text: String) =>
+    if (text == null) Vector.empty[Hit] else Detect.classifyByRegex(text))
+
+  /** Fixed-tag scrub over the reference's 4-pattern union (oracle-friendly). */
+  val scrubTagsUdf = udf((text: String) =>
+    if (text == null) null else Scrub.scrubTags(text))
+
+  /** North-star dictionary scrub over the full entity set. */
+  val scrubDictUdf = udf((text: String) =>
+    if (text == null) null else Scrub.scrubDict(text))
+
+  /** Dictionary scrub restricted to the reference's 4-pattern union
+    * (email/phone/amount/id) — the SQL-oracle-checkable variant. */
+  val scrubDictRefOrderUdf = udf((text: String) =>
+    if (text == null) null else Scrub.scrubDict(text, Scrub.ReferenceOrder))
+
+  /** Reference-alias scrub (HMAC + MT19937, byte-identical phone/amount/id). */
+  def scrubRefUdf(keyB64: String, ns: String) =
+    udf((text: String) => if (text == null) null else Scrub.scrubRef(text, keyB64, ns))
+
+  final case class LangGuess(lang: String, conf: Double)
+
+  /** Language ID with an explicitly broadcast model. */
+  def langIdUdf(model: Broadcast[LangIdModel]) =
+    udf { (text: String) =>
+      if (text == null) LangGuess("und", 0.0)
+      else { val (l, c) = model.value.classify(text); LangGuess(l, c) }
+    }
+
+  /** Perplexity with an explicitly broadcast model. */
+  def perplexityUdf(model: Broadcast[PerplexityModel]) =
+    udf((text: String) =>
+      if (text == null) Perplexity.MaxPpl else model.value.perplexity(text))
+
+  val qualityUdf = udf((text: String) =>
+    if (text == null) Quality.metrics("") else Quality.metrics(text))
+
+  val minHashUdf = udf((text: String, k: Int, numHashes: Int) =>
+    TextDedup.minHash(if (text == null) "" else text, k, numHashes))
+
+  val bandKeysUdf = udf((sig: Seq[Int], bands: Int) =>
+    TextDedup.bandKeys(sig.toArray, bands))
+
+  val sigSimUdf = udf((a: Seq[Int], b: Seq[Int]) =>
+    TextDedup.sigSimilarity(a.toArray, b.toArray))
+
+  val simHashUdf = udf((text: String) =>
+    TextDedup.simHash(if (text == null) "" else text))
+
+  val fingerprintUdf = udf((text: String) =>
+    TextDedup.fingerprint(if (text == null) "" else text))
+
+  val shinglesUdf = udf((text: String, k: Int) =>
+    TextDedup.shingles(if (text == null) "" else text, k))
+
+  /** Register the SQL-callable subset (spark.sql usage + diagnostics). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("pii_detect", detectAllUdf)
+    spark.udf.register("pii_classify", classifyUdf)
+    spark.udf.register("pii_scrub_tags", scrubTagsUdf)
+    spark.udf.register("pii_scrub_dict", scrubDictUdf)
+    spark.udf.register("doc_quality", qualityUdf)
+    spark.udf.register("doc_simhash", simHashUdf)
+    spark.udf.register("doc_fingerprint", fingerprintUdf)
+  }
+}

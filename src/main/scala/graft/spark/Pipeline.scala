@@ -1,0 +1,88 @@
+package graft.spark
+
+import graft.core.{LangId, Perplexity, Quality, Scrub}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship pipeline: pages → langid → perplexity → quality rules →
+  * PII scrub → keep/drop — one narrow stage from scan to sink.
+  *
+  * Design (SURVEY.md §3.1, §4): all per-row work is deterministic UDFs over
+  * `graft.core`; model state (langid, perplexity) is broadcast once per job;
+  * the keep/drop decision is a NATIVE Catalyst `when` chain over the quality
+  * struct (mirroring [[Quality.decide]] rule-for-rule — parity is tested), so
+  * Catalyst can prune/push it; the only wide operations in a full run are the
+  * salted repartition before the partitioned write and the tiny metrics agg.
+  */
+object Pipeline {
+
+  final case class Conf(
+      keyB64: String = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ==", // "graft-spark-pii-default-key!"
+      ns: String = "tenant-a",
+      quality: Quality.Conf = Quality.Conf(),
+      numBuckets: Int = 64,
+      saltBuckets: Int = 8)
+
+  /** Adds lang_id/lang_conf, ppl, quality struct, scrub results, keep and
+    * drop_reason to the input pages frame. Narrow (no shuffle). */
+  def run(spark: SparkSession, pages: DataFrame, conf: Conf = Conf()): DataFrame = {
+    val bLang = spark.sparkContext.broadcast(LangId.default)
+    val bPpl = spark.sparkContext.broadcast(Perplexity.default)
+    val qc = conf.quality
+
+    val withStages = pages
+      .withColumn("lang_guess", PiiFunctions.langIdUdf(bLang)(col("text")))
+      .withColumn("ppl", PiiFunctions.perplexityUdf(bPpl)(col("text")))
+      .withColumn("q", PiiFunctions.qualityUdf(col("text")))
+      .withColumn("scrub", PiiFunctions.scrubDictUdf(col("text")))
+
+    // Native when-chain mirror of Quality.decide (first failing rule wins;
+    // word-shape + perplexity rules gated off for CJK text — see core docs).
+    val q = col("q")
+    val latin = q("cjkRatio") <= 0.3
+    val dropReason: Column =
+      when(q("nChars") < qc.minChars, "too_short")
+        .when(q("nChars") > qc.maxChars, "too_long")
+        .when(latin && q("nWords") < qc.minWords, "too_few_words")
+        .when(q("nWords") > qc.maxWords, "too_many_words")
+        .when(latin && q("meanWordLen") < qc.minMeanWordLen, "mean_word_len_low")
+        .when(latin && q("meanWordLen") > qc.maxMeanWordLen, "mean_word_len_high")
+        .when(latin && q("maxWordLen") > qc.maxWordLen, "max_word_len")
+        .when(q("symbolRatio") > qc.maxSymbolRatio, "symbol_ratio")
+        .when(latin && q("stopwordRatio") < qc.minStopwordRatio, "stopword_ratio")
+        .when(latin && q("alphaWordRatio") < qc.minAlphaWordRatio, "alpha_word_ratio")
+        .when(q("dupLineFrac") > qc.maxDupLineFrac, "dup_lines")
+        .when(q("dupWordFrac") > qc.maxDupWordFrac, "dup_words")
+        .when(latin && col("ppl") > qc.maxPpl, "perplexity")
+        .otherwise("")
+
+    withStages
+      .withColumn("drop_reason", dropReason)
+      .withColumn("keep", col("drop_reason") === lit(""))
+      .select(
+        col("url"), col("warc_ts"), col("lang").as("lang_claimed"),
+        col("lang_guess.lang").as("lang_id"), col("lang_guess.conf").as("lang_conf"),
+        col("ppl"), col("q").as("quality"),
+        col("keep"), col("drop_reason"),
+        col("scrub.scrubbed").as("scrubbed_text"),
+        col("scrub.aliases").as("alias_dict"),
+        col("scrub.counts").as("n_hits"))
+  }
+
+  /** Host of a url (partition/skew key). */
+  def hostCol(url: Column): Column = regexp_extract(url, "://([^/]+)", 1)
+
+  /** Deterministic output bucket: hash of host, NOT of url, so one crawl
+    * host's pages land together (Iceberg-style layout), with a salt column to
+    * split hot hosts across tasks (north_rule skew handling). */
+  def withBucket(df: DataFrame, conf: Conf = Conf()): DataFrame =
+    df.withColumn("part_bucket", pmod(hash(hostCol(col("url"))), lit(conf.numBuckets)))
+
+  /** Salted repartition then partitioned write: tasks are keyed by
+    * (bucket, salt) so a Zipf-hot host spreads over `saltBuckets` tasks while
+    * files stay partitioned by bucket only. */
+  def salted(df: DataFrame, conf: Conf = Conf()): DataFrame =
+    df.repartition(
+      col("part_bucket"),
+      pmod(hash(col("url")), lit(conf.saltBuckets)))
+}

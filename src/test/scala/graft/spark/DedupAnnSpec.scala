@@ -1,0 +1,90 @@
+package graft.spark
+
+import graft.core.TextDedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the approximate dedup/ANN paths against their exact
+  * (brute-force) twins on the sf0.001 test tables. */
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsDedup = {
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    base.unionAll(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .unionAll(base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+  }
+
+  test("exact dedup keeps one representative per text and counts copies") {
+    val reps = Dedup.exact(docsDedup, "doc_id", "text").collect()
+    assert(reps.length == 572) // 500 distinct + 72 near-copies (unique text)
+    val dupReps = reps.filter(_.getLong(1) > 1)
+    assert(dupReps.length == 50) // doc_id % 10 == 0 exact copies
+    assert(dupReps.forall(r => r.getLong(0) % 10 == 0 && r.getLong(0) < 2000000))
+  }
+
+  test("minhash LSH finds every planted near-dup pair found by exact jaccard") {
+    val exact = Dedup.jaccardPairs(docsDedup, "doc_id", "text", 3, minSimMilli = 800)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docsDedup, "doc_id", "text", 3, 128, 32, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact jaccard found no pairs — planted dups missing")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash signature similarity estimates true jaccard within 0.15") {
+    val rows = docsDedup.where(col("doc_id") % 7 === 0 && col("doc_id") < 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.take(10).foreach { case (id, text) =>
+      val near = text + " zz yy xx"
+      val truth = TextDedup.jaccard(
+        TextDedup.shingles(text, 3).distinct, TextDedup.shingles(near, 3).distinct)
+      val est = TextDedup.sigSimilarity(
+        TextDedup.minHash(text, 3, 128), TextDedup.minHash(near, 3, 128))
+      assert(math.abs(truth - est) < 0.15, s"id=$id truth=$truth est=$est")
+    }
+  }
+
+  test("simhash equi-join candidates equal brute-force hamming<=3 pairs") {
+    val hashes = docsDedup.collect().map(r => (r.getLong(0), TextDedup.simHash(r.getString(1))))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && TextDedup.hamming(ha, hb) <= 3
+    } yield (a, b)).toSet
+    val dist = Dedup.simHashDups(docsDedup, "doc_id", "text", 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == brute, s"distributed=${dist.size} brute=${brute.size}")
+  }
+
+  test("LSH ANN top-10 recall >= 0.7 vs brute force") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val rest = e.where(col("vec_id") =!= 7)
+    val brute = Ann.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Ann.lshTopK(rest, "vec_id", "embedding", q, 10, nBits = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"ANN recall $recall brute=$brute lsh=$lsh")
+  }
+
+  test("quantized dot ranking agrees with cosine ranking on top result") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rest = e.where(col("vec_id") =!= 0)
+    val byCos = Ann.bruteForceTopK(rest, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0))
+    val byDot = rest.select(col("vec_id"),
+        Ann.dotQuantized(col("embedding"), typedLit(q)).as("d"))
+      .orderBy(col("d").desc, col("vec_id")).limit(3)
+      .collect().map(_.getLong(0))
+    assert(byCos.head == byDot.head,
+      s"cos=${byCos.mkString(",")} dot=${byDot.mkString(",")}")
+  }
+}

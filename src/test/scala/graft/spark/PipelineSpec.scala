@@ -1,0 +1,122 @@
+package graft.spark
+
+import graft.core.{LangId, Perplexity, Quality, Scrub}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val pages = DataGen.pages(spark, 1500, partitions = 8)
+  private lazy val result = Pipeline.run(spark, pages.toDF()).cache()
+
+  test("flagship entry returns rows with the contracted schema") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("url", "warc_ts", "lang_claimed", "lang_id",
+      "lang_conf", "ppl", "quality", "keep", "drop_reason", "scrubbed_text",
+      "alias_dict", "n_hits"))
+    assert(df.count() == 2000)
+  }
+
+  test("keep/drop: native when-chain agrees with core Quality.decide row-for-row (F1 = 1.0)") {
+    // reference labels: core functions applied directly to the generated text
+    val rows = result.select("url", "keep", "drop_reason", "scrubbed_text").collect()
+    val byUrl = pages.collect().map(p => p.url -> p).toMap
+    val ppl = Perplexity.default
+    var agree = 0
+    rows.foreach { r =>
+      val p = byUrl(r.getString(0))
+      val (expKeep, expReason) = Quality.decide(Quality.metrics(p.text), ppl.perplexity(p.text))
+      assert(r.getBoolean(1) == expKeep, s"url=${p.url} reason=${r.getString(2)} exp=$expReason")
+      assert(r.getString(2) == expReason, s"url=${p.url}")
+      agree += 1
+    }
+    assert(agree == 1500)
+  }
+
+  test("scrubbed text through Spark is byte-identical to core Scrub.scrubDict") {
+    val rows = result.select("url", "scrubbed_text").collect()
+    val byUrl = pages.collect().map(p => p.url -> p.text).toMap
+    rows.foreach { r =>
+      assert(r.getString(1) == Scrub.scrubDict(byUrl(r.getString(0))).scrubbed,
+        s"url=${r.getString(0)}")
+    }
+  }
+
+  test("drop reasons cover the synthetic corpus failure modes") {
+    val reasons = result.groupBy("drop_reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons.getOrElse("", 0L) > 500L, s"kept docs: $reasons")
+    // gibberish docs fail whichever gibberish-family rule fires first in the
+    // decide order (mean_word_len before symbol_ratio before perplexity)
+    val gibberish = Set("mean_word_len_high", "max_word_len", "symbol_ratio", "perplexity")
+    assert(reasons.keySet.exists(gibberish), s"no gibberish-family drops in $reasons")
+    Seq("dup_lines", "stopword_ratio", "too_short").foreach { want =>
+      assert(reasons.contains(want), s"missing drop_reason $want in $reasons")
+    }
+  }
+
+  test("langid: claimed-lang agreement is high on clean prose docs") {
+    val clean = result.where(col("keep"))
+    val n = clean.count()
+    val agree = clean.where(col("lang_id") === col("lang_claimed")).count()
+    // 5% of claimed langs are deliberately wrong + langid noise on short docs
+    assert(agree.toDouble / n > 0.80, s"langid agreement $agree/$n")
+  }
+
+  test("alias dictionary round-trip: every alias appears in scrubbed text and original value does not") {
+    val rows = result.where(size(map_keys(col("alias_dict"))) > 0)
+      .select("scrubbed_text", "alias_dict").limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getString(0)
+      val dict = r.getMap[String, String](1)
+      dict.foreach { case (orig, alias) =>
+        assert(scrubbed.contains(alias), s"alias $alias missing")
+        assert(!scrubbed.contains(orig), s"original $orig leaked into: ${scrubbed.take(120)}")
+      }
+    }
+  }
+
+  test("scrub is idempotent in dict mode (aliases never re-match)") {
+    val texts = pages.collect().map(_.text).take(300)
+    texts.foreach { t =>
+      val once = Scrub.scrubDict(t).scrubbed
+      assert(Scrub.scrubDict(once).scrubbed == once)
+    }
+  }
+
+  test("DataGen is deterministic and partitioning-independent") {
+    val a = DataGen.pages(spark, 300, partitions = 2).collect().sortBy(_.url)
+    val b = DataGen.pages(spark, 300, partitions = 16).collect().sortBy(_.url)
+    assert(a.map(_.text).toSeq == b.map(_.text).toSeq)
+    assert(a.map(_.url).toSeq == b.map(_.url).toSeq)
+  }
+
+  test("pipeline plan stays narrow: no exchange before the sink") {
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in pipeline plan:\n$plan")
+  }
+
+  test("host-domain distribution is skewed (salting has something to fix)") {
+    val hosts = pages.toDF()
+      .groupBy(Pipeline.hostCol(col("url")).as("host")).count()
+      .orderBy(col("count").desc).limit(1).collect()
+    assert(hosts(0).getLong(1) > 1500 / 20, s"top host only ${hosts(0).getLong(1)} rows")
+  }
+}
