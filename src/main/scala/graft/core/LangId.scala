@@ -16,46 +16,76 @@ package graft.core
   */
 final case class LangIdModel(
     langs: Vector[String],
-    // gram → per-lang log-prob vector (aligned with langs)
-    logProbs: Map[String, Array[Double]],
+    // sorted packed-gram keys (16 bits/char, length tag in bits 48+) with
+    // per-lang log-prob rows laid out flat — binary-searched, zero boxing,
+    // trivially java-serializable for broadcast
+    gramKeys: Array[Long],
+    gramLogProbs: Array[Double], // gramKeys.length × langs.length, row-major
     defaultLogProb: Array[Double]
 ) extends Serializable {
 
   /** (bestLang, confidence in [0,1]) — confidence is the softmax weight of
-    * the winning language over the candidate set. */
+    * the winning language over the candidate set. Allocation-free per call
+    * beyond the normalized prefix buffer and the score array. */
   def classify(text: String): (String, Double) = {
-    val scores = new Array[Double](langs.length)
+    val nl = langs.length
+    val scores = new Array[Double](nl)
+    val t = LangId.normalize(text)
     var n = 0
-    LangId.grams(text).foreach { g =>
-      val lp = logProbs.getOrElse(g, defaultLogProb)
-      var i = 0
-      while (i < scores.length) { scores(i) += lp(i); i += 1 }
-      n += 1
+    var pos = 0
+    while (pos < t.length) {
+      var len = 1
+      while (len <= 3 && pos + len <= t.length) {
+        var key = len.toLong << 48
+        var j = 0
+        while (j < len) { key |= t.charAt(pos + j).toLong << (j * 16); j += 1 }
+        val idx = java.util.Arrays.binarySearch(gramKeys, key)
+        if (idx >= 0) {
+          val off = idx * nl
+          var i = 0
+          while (i < nl) { scores(i) += gramLogProbs(off + i); i += 1 }
+        } else {
+          var i = 0
+          while (i < nl) { scores(i) += defaultLogProb(i); i += 1 }
+        }
+        n += 1
+        len += 1
+      }
+      pos += 1
     }
     if (n == 0) return ("und", 0.0)
     // softmax over mean log-probs (length-normalized so confidence is
     // comparable across document lengths)
     var best = 0
     var i = 1
-    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+    while (i < nl) { if (scores(i) > scores(best)) best = i; i += 1 }
     val mx = scores(best) / n
     var z = 0.0
     i = 0
-    while (i < scores.length) { z += math.exp(scores(i) / n - mx); i += 1 }
+    while (i < nl) { z += math.exp(scores(i) / n - mx); i += 1 }
     (langs(best), 1.0 / z)
   }
 }
 
 object LangId {
 
-  /** Char 1/2/3-grams over a normalized view (lowercase, whitespace folded). */
+  /** Char 1/2/3-grams over a normalized view (lowercase, whitespace folded).
+    * String-keyed variant used at TRAIN time only; classification walks the
+    * packed-Long keys directly. */
   def grams(text: String): Iterator[String] = {
     val t = normalize(text)
     if (t.isEmpty) Iterator.empty
     else (1 to 3).iterator.flatMap(k => t.sliding(k).filter(_.length == k))
   }
 
-  private def normalize(text: String): String = {
+  private[core] def packed(g: String): Long = {
+    var key = g.length.toLong << 48
+    var j = 0
+    while (j < g.length) { key |= g.charAt(j).toLong << (j * 16); j += 1 }
+    key
+  }
+
+  private[core] def normalize(text: String): String = {
     val sb = new java.lang.StringBuilder(math.min(text.length, 4096) + 2)
     sb.append(' ')
     var i = 0
@@ -129,18 +159,20 @@ object LangId {
     }
     val vocab = counts.iterator.flatMap(_.keysIterator).toSet
     val v = vocab.size + 1
-    val logProbs = vocab.iterator.map { g =>
-      val arr = new Array[Double](langs.length)
+    val sorted = vocab.toArray.map(g => packed(g) -> g).sortBy(_._1)
+    val keys = sorted.map(_._1)
+    val flat = new Array[Double](keys.length * langs.length)
+    sorted.zipWithIndex.foreach { case ((_, g), row) =>
       var i = 0
       while (i < langs.length) {
-        arr(i) = math.log((counts(i).getOrElse(g, 0) + 1.0) / (totals(i) + v))
+        flat(row * langs.length + i) =
+          math.log((counts(i).getOrElse(g, 0) + 1.0) / (totals(i) + v))
         i += 1
       }
-      g -> arr
-    }.toMap
+    }
     val dflt = new Array[Double](langs.length)
     var i = 0
     while (i < langs.length) { dflt(i) = math.log(1.0 / (totals(i) + v)); i += 1 }
-    LangIdModel(langs, logProbs, dflt)
+    LangIdModel(langs, keys, flat, dflt)
   }
 }

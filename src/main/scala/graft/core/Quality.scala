@@ -44,7 +44,103 @@ object Quality {
       maxWordLen: Long,
       cjkRatio: Double)
 
+  // rolling-hash fingerprints of the stopwords (same scheme the scan uses)
+  private lazy val stopwordHashes: LongHashSet = {
+    val s = new LongHashSet(Stopwords.size * 2)
+    Stopwords.foreach { w =>
+      var h = 0xcbf29ce484222325L
+      w.foreach(c => h = (h ^ c) * 0x100000001b3L)
+      s.add(h ^ (w.length.toLong << 56))
+    }
+    s
+  }
+
+  private def isAsciiSpace(c: Char): Boolean = // Java regex \s (no UNICODE flag)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Single-scan metrics: no token/line Strings are materialized — tokens and
+    * lines are identified by rolling 64-bit hashes (collision odds ~1e-13 per
+    * document; only distinct-count stats depend on them). Equivalent to the
+    * naive tokenize-then-count implementation, pinned by QualityScanSpec. */
   def metrics(text: String): Metrics = {
+    val nC = text.length.toLong
+    var symbols = 0L
+    var letters = 0L
+    var cjk = 0L
+    // token state
+    var nW = 0L
+    var sumLen = 0L
+    var maxLen = 0L
+    var stop = 0L
+    var alphaWords = 0L
+    var tokLen = 0
+    var tokHash = 0xcbf29ce484222325L
+    var tokHasAlpha = false
+    val tokSet = new LongHashSet(64)
+    // line state
+    var nLines = 1L
+    var lineHash = 0xcbf29ce484222325L
+    val lineSet = new LongHashSet(16)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      // char-class stats (Unicode-aware, matches the old per-char loop)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+          b == Character.UnicodeScript.KATAKANA || b == Character.UnicodeScript.HANGUL) cjk += 1
+      } else if (!Character.isDigit(c) && !Character.isWhitespace(c)) symbols += 1
+      // lines: split on '\n' exactly, empties count (split("\n", -1) semantics)
+      if (c == '\n') {
+        lineSet.add(lineHash)
+        lineHash = 0xcbf29ce484222325L
+        nLines += 1
+      } else lineHash = (lineHash ^ c) * 0x100000001b3L
+      // tokens: runs of non-\s (ASCII) chars of lowercase text
+      if (isAsciiSpace(c)) {
+        if (tokLen > 0) {
+          nW += 1; sumLen += tokLen
+          if (tokLen > maxLen) maxLen = tokLen
+          if (tokHasAlpha) alphaWords += 1
+          val key = tokHash ^ (math.min(tokLen, 255).toLong << 56)
+          tokSet.add(key)
+          if (stopwordHashes.contains(key)) stop += 1
+          tokLen = 0; tokHash = 0xcbf29ce484222325L; tokHasAlpha = false
+        }
+      } else {
+        val lc = Character.toLowerCase(c)
+        tokHash = (tokHash ^ lc) * 0x100000001b3L
+        tokLen += 1
+        if (!tokHasAlpha && Character.isLetter(lc)) tokHasAlpha = true
+      }
+      i += 1
+    }
+    if (tokLen > 0) {
+      nW += 1; sumLen += tokLen
+      if (tokLen > maxLen) maxLen = tokLen
+      if (tokHasAlpha) alphaWords += 1
+      val key = tokHash ^ (math.min(tokLen, 255).toLong << 56)
+      tokSet.add(key)
+      if (stopwordHashes.contains(key)) stop += 1
+    }
+    lineSet.add(lineHash)
+    Metrics(
+      nChars = nC,
+      nWords = nW,
+      meanWordLen = if (nW == 0) 0.0 else sumLen.toDouble / nW,
+      stopwordRatio = if (nW == 0) 0.0 else stop.toDouble / nW,
+      symbolRatio = if (nC == 0) 0.0 else symbols.toDouble / nC,
+      dupLineFrac = 1.0 - lineSet.size.toDouble / nLines,
+      dupWordFrac = if (nW == 0) 0.0 else 1.0 - tokSet.size.toDouble / nW,
+      alphaWordRatio = if (nW == 0) 0.0 else alphaWords.toDouble / nW,
+      maxWordLen = maxLen,
+      cjkRatio = if (letters == 0) 0.0 else cjk.toDouble / letters)
+  }
+
+  /** Naive reference implementation (tokenize-then-count) — kept as the test
+    * oracle for the single-scan [[metrics]]. */
+  def metricsNaive(text: String): Metrics = {
     val toks = tokens(text)
     val nW = toks.length.toLong
     val nC = text.length.toLong

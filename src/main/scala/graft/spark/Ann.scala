@@ -26,15 +26,28 @@ object Ann {
     dot / (na * nb + lit(1e-12))
   }
 
-  /** Integer-quantized dot product (floor(x*1000) per element) — exact,
-    * summation-order-independent, so an SQL oracle reproduces it. */
-  def dotQuantized(a: Column, b: Column): Column =
-    aggregate(
-      // cast to double BEFORE scaling: float32→float64 is exact and both
-      // engines then do the same IEEE double multiply, so floor() agrees
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * 1000).cast("long") * floor(y.cast("double") * 1000).cast("long")),
-      lit(0L), (s, v) => s + v)
+  /** Integer-quantized dot product (floor(double(x)*1000) per element) —
+    * exact and summation-order-independent, so an SQL oracle reproduces it.
+    *
+    * Implemented as a primitive-loop UDF rather than `zip_with`/`aggregate`:
+    * Spark's higher-order array functions are interpreted (excluded from
+    * whole-stage codegen), which costs ~10× on all-pairs workloads. The
+    * float→double cast is exact; both engines then do the same IEEE double
+    * multiply, so floor() agrees bit-for-bit with the DuckDB oracle. */
+  val dotQuantizedUdf = org.apache.spark.sql.functions.udf {
+    (a: Array[Float], b: Array[Float]) =>
+      var s = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        s += math.floor(a(i).toDouble * 1000).toLong *
+          math.floor(b(i).toDouble * 1000).toLong
+        i += 1
+      }
+      s
+  }
+
+  def dotQuantized(a: Column, b: Column): Column = dotQuantizedUdf(a, b)
 
   /** Brute-force top-k by cosine against one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,

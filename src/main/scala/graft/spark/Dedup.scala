@@ -102,14 +102,10 @@ object Dedup {
     * order-independent integer dot → oracle-reproducible). */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
                         minDotQ: Long): DataFrame = {
-    // cast to double BEFORE scaling: float32→float64 is exact and both
-    // engines then do the same IEEE double multiply, so floor() agrees
-    val q = df.select(col(idCol).as("id"),
-      transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+    val q = df.select(col(idCol).as("id"), col(embCol).as("e"))
     q.as("x").join(q.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        aggregate(zip_with(col("x.e"), col("y.e"), (u, v) => u * v),
-          lit(0L), (acc, p) => acc + p).as("dot_q"))
+        Ann.dotQuantized(col("x.e"), col("y.e")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
   }
 }

@@ -1,0 +1,141 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style partitioned sink with snapshot manifests, a per-bucket
+  * completion ledger, per-partition lineage, and EXACT resume.
+  *
+  * No Iceberg runtime jar ships in this offline image (SURVEY.md §1.3), so
+  * the layout emulates one — parquet files under `data/part_bucket=N/` plus
+  * JSON metadata — behind this one object so a real catalog can be swapped in.
+  *
+  * Resume contract (north_rule): output buckets are the unit of commit. A
+  * bucket directory only counts once its ledger entry exists; on resume,
+  * directories WITHOUT a ledger entry are deleted and re-written, giving
+  * exactly-once bucket semantics and byte-identical final content vs an
+  * uninterrupted run (the pipeline is deterministic). Lineage per bucket:
+  * input snapshot id, rule version, row/keep/hit counts, wall time.
+  */
+object IcebergishSink {
+
+  /** Version stamp of the rule set — recorded in lineage so downstream can
+    * tell which detector/quality semantics produced a partition. */
+  val RuleVersion = "graft-rules-1.0"
+
+  final case class BucketLineage(
+      bucket: Int,
+      rows: Long,
+      keepRows: Long,
+      hits: Long,
+      inputSnapshot: String,
+      ruleVersion: String,
+      completedMs: Long)
+
+  final case class WriteReport(
+      snapshotId: String,
+      bucketsWritten: Seq[Int],
+      bucketsSkipped: Seq[Int],
+      rows: Long,
+      keepRows: Long)
+
+  private def ledgerDir(out: String): Path = Paths.get(out, "_ledger")
+  private def dataDir(out: String): Path = Paths.get(out, "data")
+
+  /** Buckets already committed (ledger entry present). */
+  def completedBuckets(out: String): Set[Int] = {
+    val dir = ledgerDir(out)
+    if (!Files.isDirectory(dir)) return Set.empty
+    Files.list(dir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+        s.stripPrefix("bucket-").stripSuffix(".json").toInt
+      }.toSet
+  }
+
+  def readLineage(out: String): Seq[BucketLineage] = {
+    val dir = ledgerDir(out)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("bucket-")).toSeq
+      .map { p =>
+        val n = mapper.readTree(Files.readString(p))
+        BucketLineage(n.get("bucket").asInt, n.get("rows").asLong,
+          n.get("keep_rows").asLong, n.get("hits").asLong,
+          n.get("input_snapshot").asText, n.get("rule_version").asText,
+          n.get("completed_ms").asLong)
+      }.sortBy(_.bucket)
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Write the scored pages frame (must carry `part_bucket`, `keep`,
+    * `n_hits`) to `out`, skipping committed buckets, committing the rest.
+    * One Spark job writes every todo bucket (scales — resume granularity is
+    * the bucket, commit granularity is the job). */
+  def writeResumable(spark: SparkSession, scored: DataFrame, out: String,
+                     conf: Pipeline.Conf = Pipeline.Conf(),
+                     inputSnapshot: String = "unknown"): WriteReport = {
+    val done = completedBuckets(out)
+    val all = 0 until conf.numBuckets
+    val todo = all.filterNot(done)
+    val snapshotId = java.util.UUID.randomUUID().toString
+
+    if (todo.nonEmpty) {
+      // uncommitted bucket dirs are leftovers of an interrupted run — remove
+      // them so re-append cannot duplicate rows
+      todo.foreach(b => deleteRecursively(dataDir(out).resolve(s"part_bucket=$b")))
+
+      val subset = scored.where(col("part_bucket").isin(todo: _*))
+      Pipeline.salted(subset, conf)
+        .write.partitionBy("part_bucket").mode("append")
+        .parquet(dataDir(out).toString)
+
+      // lineage stats from the committed files themselves (column-pruned scan)
+      val stats = spark.read.parquet(dataDir(out).toString)
+        .where(col("part_bucket").isin(todo: _*))
+        .groupBy("part_bucket")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+          sum(aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v)).as("hits"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+      val now = System.currentTimeMillis()
+      todo.foreach { b =>
+        val (rows, keeps, hits) = stats.getOrElse(b, (0L, 0L, 0L))
+        writeAtomic(ledgerDir(out).resolve(s"bucket-$b.json"),
+          s"""{"bucket":$b,"rows":$rows,"keep_rows":$keeps,"hits":$hits,""" +
+            s""""input_snapshot":"$inputSnapshot","rule_version":"$RuleVersion",""" +
+            s""""completed_ms":$now}""")
+      }
+    }
+
+    val lineage = readLineage(out)
+    val report = WriteReport(snapshotId, todo, done.toSeq.sorted,
+      lineage.map(_.rows).sum, lineage.map(_.keepRows).sum)
+    val files = lineage.map(b => s""""part_bucket=${b.bucket}"""").mkString("[", ",", "]")
+    writeAtomic(Paths.get(out, "_snapshots", s"snap-$snapshotId.json"),
+      s"""{"snapshot_id":"$snapshotId","input_snapshot":"$inputSnapshot",""" +
+        s""""rule_version":"$RuleVersion","buckets":$files,""" +
+        s""""rows":${report.rows},"keep_rows":${report.keepRows},""" +
+        s""""written":${todo.size},"skipped":${done.size},""" +
+        s""""created_ms":${System.currentTimeMillis()}}""")
+    report
+  }
+}

@@ -48,6 +48,29 @@ object PiiFunctions {
 
   final case class LangGuess(lang: String, conf: Double)
 
+  /** One fused per-page result: all text stages in a single UDF call so the
+    * row's text crosses the UTF8String→String boundary ONCE and the boxing /
+    * struct-building overhead is paid once, not per stage. The pipeline's
+    * hot path; the à-la-carte UDFs below remain for individual queries. */
+  final case class PageStages(
+      lang_id: String,
+      lang_conf: Double,
+      ppl: Double,
+      q: Quality.Metrics,
+      scrubbed: String,
+      aliases: Map[String, String],
+      counts: Map[String, Long])
+
+  def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel]) =
+    udf { (text: String) =>
+      val t = if (text == null) "" else text
+      val (l, c) = lang.value.classify(t)
+      val p = ppl.value.perplexity(t)
+      val m = Quality.metrics(t)
+      val d = Scrub.scrubDict(t)
+      PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts)
+    }
+
   /** Language ID with an explicitly broadcast model. */
   def langIdUdf(model: Broadcast[LangIdModel]) =
     udf { (text: String) =>

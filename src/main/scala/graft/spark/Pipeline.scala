@@ -31,10 +31,12 @@ object Pipeline {
     val qc = conf.quality
 
     val withStages = pages
-      .withColumn("lang_guess", PiiFunctions.langIdUdf(bLang)(col("text")))
-      .withColumn("ppl", PiiFunctions.perplexityUdf(bPpl)(col("text")))
-      .withColumn("q", PiiFunctions.qualityUdf(col("text")))
-      .withColumn("scrub", PiiFunctions.scrubDictUdf(col("text")))
+      .withColumn("r", PiiFunctions.pageStagesUdf(bLang, bPpl)(col("text")))
+      .withColumn("lang_guess", struct(col("r.lang_id").as("lang"), col("r.lang_conf").as("conf")))
+      .withColumn("ppl", col("r.ppl"))
+      .withColumn("q", col("r.q"))
+      .withColumn("scrub", struct(col("r.scrubbed").as("scrubbed"),
+        col("r.aliases").as("aliases"), col("r.counts").as("counts")))
 
     // Native when-chain mirror of Quality.decide (first failing rule wins;
     // word-shape + perplexity rules gated off for CJK text — see core docs).
