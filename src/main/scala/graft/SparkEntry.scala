@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Quality
-import graft.spark.{Ann, DataGen, Dedup, Pipeline, PiiFunctions}
+import graft.spark.{Ann, DataGen, Dedup, Multimodal, Pipeline, PiiFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,16 @@ object SparkEntry {
         lpad((id % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
       when(id % 7 < 3, concat(lit(" ref ACC-"), (id % 90000 + 10000).cast("string")))
         .otherwise(lit(""))))
+  }
+
+  /** documents with planted gazetteer entities (mirrors `nerCte`). */
+  private def docsNer(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, dir).withColumn("text", concat(
+      col("text"),
+      when(id % 4 === 0, lit(" 山田太郎")).otherwise(lit("")),
+      when(id % 6 === 0, lit(" Example Corp")).otherwise(lit("")),
+      when(id % 5 === 0, lit(" 東京都")).otherwise(lit(""))))
   }
 
   /** documents with planted exact + near duplicates (mirrors `dedupCte`). */
@@ -211,7 +221,30 @@ object SparkEntry {
       Ann.lshTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 6)
     }),
 
+    "q_scrub_lines" -> ((s, dir) =>
+      docsPii(s, dir).select(col("doc_id"),
+        PiiFunctions.scrubTagsLinesUdf(col("text")).as("scrubbed"))),
+
+    // BPE-ish subword segmentation count (GPT-2-style pattern, lookahead
+    // dropped for RE2 oracle compatibility)
+    "q_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        regexp_count(col("text"),
+          lit(""" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""))
+          .cast("long").as("n_bpe"))),
+
     // -- relational analogs (SURVEY ops 20-22, 26-27) --
+    "q_top_customers" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
+      val rev = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nation")).orderBy(col("cents").desc, col("c_custkey"))
+      rev.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+    }),
+
     "q_window_delta" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -253,7 +286,29 @@ object SparkEntry {
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
           count(lit(1)).as("n"))),
 
+    // model-assisted NER slot (broadcast model + mapPartitions batching)
+    "q_ner_model" -> ((s, dir) => {
+      val b = s.sparkContext.broadcast(graft.spark.NerSlot.defaultModel)
+      graft.spark.NerSlot.nerHits(docsNer(s, dir), "doc_id", "text", b)
+        .select(explode(col("model_hits")).as("h"))
+        .groupBy(col("h.kind").as("kind")).agg(count(lit(1)).as("n"))
+    }),
+
     // -- rows-only (no SQL oracle; covered by ScalaTest suites) --
+    "q_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s,
+        docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("b")),
+        "doc_id", "b")
+      Multimodal.featurize(media).toDF()
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s,
+        docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("b")),
+        "doc_id", "b")
+      Multimodal.frameSample(media).toDF()
+    }),
+
     "q_pipeline" -> ((s, _) =>
       Pipeline.run(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")),
@@ -374,6 +429,41 @@ object SparkEntry {
         " i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)" +
         " * CAST(floor(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q" +
         " FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY dot_q DESC, e.vec_id LIMIT 10"),
+
+    "q_scrub_lines" -> (piiCte +
+      " SELECT doc_id, array_to_string(list_transform(string_split(text, chr(10))," +
+      " l -> regexp_replace(regexp_replace(regexp_replace(regexp_replace(l," +
+      s" '$reEmail', '<EMAIL>', 'g'), '$rePhone', '<PHONE>', 'g')," +
+      s" '$reAmount', '<AMOUNT>', 'g'), '$reId', '<ID>', 'g')), chr(10)) AS scrubbed FROM docs"),
+
+    "q_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text," +
+        " ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe FROM documents"),
+
+    "q_top_customers" ->
+      ("WITH rev AS (SELECT c_nationkey AS nation, c_custkey," +
+        " CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents" +
+        " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)" +
+        " SELECT nation, c_custkey, cents, CAST(rk AS INT) AS rk FROM (" +
+        " SELECT nation, c_custkey, cents, ROW_NUMBER() OVER" +
+        " (PARTITION BY nation ORDER BY cents DESC, c_custkey) AS rk FROM rev)" +
+        " WHERE rk <= 3"),
+
+    "q_ner_model" -> {
+      val nerCte = "WITH nd AS (SELECT doc_id, text" +
+        " || CASE WHEN doc_id % 4 = 0 THEN ' 山田太郎' ELSE '' END" +
+        " || CASE WHEN doc_id % 6 = 0 THEN ' Example Corp' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' 東京都' ELSE '' END AS text FROM documents)"
+      val entities = Seq(
+        ("name", "山田太郎"), ("name", "田中 花子"), ("org", "Example Corp"),
+        ("org", "Acme KK"), ("address", "東京都"), ("address", "大阪府"),
+        ("misc", "graft"))
+      val per = entities.map { case (k, e) =>
+        s"SELECT '$k' AS kind, CAST((length(text) - length(replace(text, '$e', ''))) / length('$e') AS BIGINT) AS n FROM nd"
+      }.mkString(" UNION ALL ")
+      nerCte + ", per AS (" + per + ")" +
+        " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM per GROUP BY kind HAVING SUM(n) > 0"
+    },
 
     "q_window_delta" ->
       ("SELECT event_id, COALESCE(epoch_ms(ts) - lag(epoch_ms(ts)) OVER" +

@@ -102,9 +102,19 @@ object IcebergishSink {
       todo.foreach(b => deleteRecursively(dataDir(out).resolve(s"part_bucket=$b")))
 
       val subset = scored.where(col("part_bucket").isin(todo: _*))
+      // run metrics ride the write job itself (op 27 analog: the reference's
+      // X-Replaced-* headers) — no second pass needed for the run report
+      val obs = new org.apache.spark.sql.Observation(s"graft-$snapshotId")
       Pipeline.salted(subset, conf)
+        .observe(obs,
+          count(lit(1)).as("rows"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keep_rows"),
+          sum(aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v)).as("hits"))
         .write.partitionBy("part_bucket").mode("append")
         .parquet(dataDir(out).toString)
+      val observed = obs.get
+      System.err.println(s"[sink] observed: rows=${observed.getOrElse("rows", 0L)} " +
+        s"keep=${observed.getOrElse("keep_rows", 0L)} hits=${observed.getOrElse("hits", 0L)}")
 
       // lineage stats from the committed files themselves (column-pruned scan)
       val stats = spark.read.parquet(dataDir(out).toString)

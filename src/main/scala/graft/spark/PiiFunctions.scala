@@ -37,6 +37,10 @@ object PiiFunctions {
   val scrubDictUdf = udf((text: String) =>
     if (text == null) null else Scrub.scrubDict(text))
 
+  /** Line-scope fixed-tag scrub (reference line mode, app/main.py:404-414). */
+  val scrubTagsLinesUdf = udf((text: String) =>
+    if (text == null) null else Scrub.scrubTagsLines(text))
+
   /** Dictionary scrub restricted to the reference's 4-pattern union
     * (email/phone/amount/id) — the SQL-oracle-checkable variant. */
   val scrubDictRefOrderUdf = udf((text: String) =>
