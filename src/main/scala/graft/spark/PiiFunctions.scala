@@ -65,13 +65,33 @@ object PiiFunctions {
       aliases: Map[String, String],
       counts: Map[String, Long])
 
-  def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel]) =
+  def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel],
+                    scrubMode: String = "dict", keyB64: String = "",
+                    ns: String = "") =
     udf { (text: String) =>
       val t = if (text == null) "" else text
       val (l, c) = lang.value.classify(t)
       val p = ppl.value.perplexity(t)
       val m = Quality.metrics(t)
-      val d = Scrub.scrubDict(t)
+      val d = scrubMode match {
+        case "dict" => Scrub.scrubDict(t)
+        case "tags" =>
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          val s = Scrub.scrub(t, Scrub.FullOrder, { (k, _) =>
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            "<" + k.toUpperCase + ">"
+          })
+          Scrub.DictResult(s, Map.empty, counts.toMap)
+        case "ref" => // reference HMAC aliases over the reference union
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          val dict = scala.collection.mutable.Map.empty[String, String]
+          val s = Scrub.scrub(t, Scrub.ReferenceOrder, { (k, orig) =>
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
+          })
+          Scrub.DictResult(s, dict.toMap, counts.toMap)
+        case other => sys.error(s"unknown scrub mode: $other")
+      }
       PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts)
     }
 

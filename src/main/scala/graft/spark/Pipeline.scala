@@ -20,6 +20,11 @@ object Pipeline {
       keyB64: String = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ==", // "graft-spark-pii-default-key!"
       ns: String = "tenant-a",
       quality: Quality.Conf = Quality.Conf(),
+      /** "dict" = north-star <TYPE_n> per-doc dictionary (full entity set);
+        * "ref"  = reference HMAC+MT19937 aliases (byte-identical
+        *          phone/amount/id, app/alias.py semantics);
+        * "tags" = fixed <KIND> tokens. */
+      scrubMode: String = "dict",
       numBuckets: Int = 64,
       saltBuckets: Int = 8)
 
@@ -31,7 +36,8 @@ object Pipeline {
     val qc = conf.quality
 
     val withStages = pages
-      .withColumn("r", PiiFunctions.pageStagesUdf(bLang, bPpl)(col("text")))
+      .withColumn("r", PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
+        conf.keyB64, conf.ns)(col("text")))
       .withColumn("lang_guess", struct(col("r.lang_id").as("lang"), col("r.lang_conf").as("conf")))
       .withColumn("ppl", col("r.ppl"))
       .withColumn("q", col("r.q"))

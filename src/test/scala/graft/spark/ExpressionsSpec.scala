@@ -1,0 +1,62 @@
+package graft.spark
+
+import graft.core.{Scrub, TextDedup}
+import graft.spark.expressions.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst expressions must (a) agree with the core functions,
+  * (b) stay inside whole-stage codegen (the point of having them). */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("scrub_tags expression == core Scrub.scrubTags on planted PII docs") {
+    import spark.implicits._
+    val texts = (0L until 200L).map(i =>
+      s"doc $i mail u$i@ex.com tel 03-1234-${1000 + i % 9000} pay ¥${1 + i % 9},123 id ACC-${10000 + i}")
+    val got = texts.toDF("text")
+      .selectExpr("scrub_tags(text) AS s").as[String].collect()
+    assert(got.toSeq == texts.map(Scrub.scrubTags(_)))
+  }
+
+  test("fingerprint64/simhash64 expressions == core functions") {
+    import spark.implicits._
+    val texts = (0L until 200L).map(DataGen.pageFor(_).text)
+    val rows = texts.toDF("text")
+      .selectExpr("fingerprint64(text) AS f", "simhash64(text) AS h")
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == TextDedup.fingerprint(t))
+      assert(r.getLong(1) == TextDedup.simHash(t))
+    }
+  }
+
+  test("expressions run inside whole-stage codegen (no ScalaUDF shim)") {
+    // a parquet scan, not a local relation — local relations are evaluated
+    // eagerly and would hide the codegen question entirely
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = base.selectExpr("scrub_tags(text) AS s", "simhash64(text) AS h")
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the simpleString marker for a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [scrub_tags"), plan)
+    assert(df.collect().length == 500) // force execution through codegen
+    assert(!plan.contains("UDF"), plan)
+    val udfPlan = base.select(PiiFunctions.scrubTagsUdf(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(udfPlan.contains("UDF"), udfPlan)
+  }
+
+  test("null handling: expression yields null on null input") {
+    import spark.implicits._
+    val got = Seq[(java.lang.Long, String)]((1L, null), (2L, "a@b.cc x"))
+      .toDF("id", "text")
+      .selectExpr("id", "scrub_tags(text) AS s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == Set((1L, null), (2L, "<EMAIL> x")))
+  }
+}

@@ -93,6 +93,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reference-alias scrub mode is byte-identical to core Scrub.scrubRef") {
+    val conf = Pipeline.Conf(scrubMode = "ref")
+    val sample = DataGen.pages(spark, 200, partitions = 4)
+    val rows = Pipeline.run(spark, sample.toDF(), conf)
+      .select("url", "scrubbed_text").collect()
+    val byUrl = sample.collect().map(p => p.url -> p.text).toMap
+    rows.foreach { r =>
+      val expected = Scrub.scrubRef(byUrl(r.getString(0)), conf.keyB64, conf.ns)
+      assert(r.getString(1) == expected, s"url=${r.getString(0)}")
+    }
+  }
+
   test("scrub is idempotent in dict mode (aliases never re-match)") {
     val texts = pages.collect().map(_.text).take(300)
     texts.foreach { t =>
