@@ -295,6 +295,16 @@ object SparkEntry {
     }),
 
     // -- rows-only (no SQL oracle; covered by ScalaTest suites) --
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      val rest = e.where(col("vec_id") =!= 0)
+      val cents = Ann.kmeansCentroids(rest, "embedding", k = 16)
+      Ann.ivfTopK(Ann.ivfIndex(rest, "embedding", cents), "vec_id",
+        "embedding", cents, q, 10, nprobe = 4)
+    }),
+
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaTable(s,
         docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("b")),

@@ -82,6 +82,82 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
+    * quantizer for IVF. The sample bound keeps the driver O(sample×dim);
+    * at cluster scale the sample comes from `df.sample` + `limit`, which is
+    * exactly what this does. */
+  def kmeansCentroids(df: DataFrame, embCol: String, k: Int, iters: Int = 10,
+                      sampleN: Int = 4096, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = df.select(col(embCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    val dim = sample(0).length
+    // deterministic init: evenly strided sample points
+    var cents = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  private def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < v.length) {
+        val x = v(j).toDouble - cents(c)(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF index: assign every row to its nearest coarse centroid (broadcast
+    * centroids, narrow map). At cluster scale the result is written
+    * partitioned/bucketed by `cell` so probes prune whole files. */
+  def ivfIndex(df: DataFrame, embCol: String,
+               centroids: Array[Array[Float]]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = org.apache.spark.sql.functions.udf((v: Array[Float]) =>
+      nearestCentroid(v, bc.value))
+    df.withColumn("cell", assign(col(embCol)))
+  }
+
+  /** IVF top-k: scan only the `nprobe` cells nearest the query, exact cosine
+    * within them. Recall/latency tuned by (k-cells, nprobe). */
+  def ivfTopK(indexed: DataFrame, idCol: String, embCol: String,
+              centroids: Array[Array[Float]], query: Array[Float],
+              k: Int, nprobe: Int): DataFrame = {
+    val order = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < query.length) { val x = query(j).toDouble - c(j); d += x * x; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    indexed.where(col("cell").isin(order.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), cosine(col(embCol), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH top-k: `tables` independent hyperplane sets; a row is a candidate if
     * ANY table puts it within hamming distance ≤ 2 of the query's signature
     * (multiprobe). Candidates are then ranked by exact cosine. Multiple

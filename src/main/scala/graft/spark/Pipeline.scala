@@ -88,9 +88,11 @@ object Pipeline {
 
   /** Salted repartition then partitioned write: tasks are keyed by
     * (bucket, salt) so a Zipf-hot host spreads over `saltBuckets` tasks while
-    * files stay partitioned by bucket only. */
-  def salted(df: DataFrame, conf: Conf = Conf()): DataFrame =
-    df.repartition(
-      col("part_bucket"),
-      pmod(hash(col("url")), lit(conf.saltBuckets)))
+    * files stay partitioned by bucket only. `numPartitions = 0` defers to
+    * `spark.sql.shuffle.partitions` (the cluster-sized default). */
+  def salted(df: DataFrame, conf: Conf = Conf(), numPartitions: Int = 0): DataFrame = {
+    val keys = Seq(col("part_bucket"), pmod(hash(col("url")), lit(conf.saltBuckets)))
+    if (numPartitions > 0) df.repartition(numPartitions, keys: _*)
+    else df.repartition(keys: _*)
+  }
 }

@@ -74,6 +74,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"ANN recall $recall brute=$brute lsh=$lsh")
   }
 
+  test("IVF top-10 recall >= 0.8 vs brute force, scanning only nprobe cells") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val rest = e.where(col("vec_id") =!= 3)
+    val cents = Ann.kmeansCentroids(rest, "embedding", k = 16)
+    val indexed = Ann.ivfIndex(rest, "embedding", cents).cache()
+    val scanned = indexed.where(col("cell").isin(0 to 15: _*)).count()
+    val brute = Ann.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Ann.ivfTopK(indexed, "vec_id", "embedding", cents, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall brute=$brute ivf=$ivf")
+    // the probe really prunes: the 4 probed cells hold well under the table
+    val probed = indexed.where(col("cell").isin(
+      cents.indices.sortBy { i =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val x = q(j).toDouble - cents(i)(j); d += x * x; j += 1 }
+        d
+      }.take(8).map(Integer.valueOf): _*)).count()
+    assert(probed < scanned, s"probe did not prune: $probed of $scanned")
+    indexed.unpersist()
+  }
+
   test("quantized dot ranking agrees with cosine ranking on top result") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray

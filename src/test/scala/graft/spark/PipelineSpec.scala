@@ -125,6 +125,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in pipeline plan:\n$plan")
   }
 
+  test("salted repartition balances Zipf host skew across shuffle partitions") {
+    val conf = Pipeline.Conf(numBuckets = 16, saltBuckets = 32)
+    val df = Pipeline.withBucket(
+      DataGen.pages(spark, 4000, numHosts = 50).toDF(), conf).cache()
+    def maxOverAvg(d: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = d.groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+      sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    }
+    val unsalted = maxOverAvg(df.repartition(16, col("part_bucket")))
+    val salted = maxOverAvg(Pipeline.salted(df, conf, numPartitions = 16))
+    assert(unsalted > salted * 1.2,
+      f"salting did not help: unsalted max/avg $unsalted%.2f vs salted $salted%.2f")
+    // (bucket,salt) keys are hash-assigned to partitions, so residual
+    // collision skew remains; the point is the big improvement over unsalted
+    assert(salted < 1.7, f"salted spread still skewed: $salted%.2f")
+    df.unpersist()
+  }
+
   test("host-domain distribution is skewed (salting has something to fix)") {
     val hosts = pages.toDF()
       .groupBy(Pipeline.hostCol(col("url")).as("host")).count()
