@@ -28,7 +28,7 @@ object Bench {
       // split the scan fine enough that every worker sees many task waves —
       // the default 128m/4m coalesces the corpus into fewer tasks than
       // threads and the stage tail idles the wide level
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -21,24 +21,49 @@ object Detect {
     while (m.find()) out += Hit(kind, m.group(), m.start(), m.end(), conf, reason)
   }
 
+  // one cheap scan prunes whole pattern families (same trigger logic as
+  // Scrub.triggered; a pruned pattern could not have matched)
+  private def triggers(text: String): (Boolean, Boolean, Boolean) = {
+    var hasAt = false
+    var hasDigit = false
+    var hasJp = false
+    var i = 0
+    while (i < text.length && !(hasAt && hasDigit && hasJp)) {
+      val c = text.charAt(i)
+      if (c == '@') hasAt = true
+      else if (Character.isDigit(c)) hasDigit = true
+      else if (c >= '　') hasJp = true
+      i += 1
+    }
+    (hasAt, hasDigit, hasJp)
+  }
+
   /** app/detectors.py:28-34 — email/phone/amount/id with fixed confs. */
   def classifyByRegex(text: String): Vector[Hit] = {
+    val (hasAt, hasDigit, _) = triggers(text)
+    if (!hasAt && !hasDigit) return Vector.empty
     val out = new VectorBuilder[Hit]
-    scan(Patterns.Email, text, "email", 0.99, "regex:email", out)
-    scan(Patterns.Phone, text, "phone", 0.95, "regex:phone", out)
-    scan(Patterns.Amount, text, "amount", 0.90, "regex:amount", out)
-    scan(Patterns.Id, text, "id", 0.88, "regex:id", out)
+    if (hasAt) scan(Patterns.Email, text, "email", 0.99, "regex:email", out)
+    if (hasDigit) {
+      scan(Patterns.Phone, text, "phone", 0.95, "regex:phone", out)
+      scan(Patterns.Amount, text, "amount", 0.90, "regex:amount", out)
+      scan(Patterns.Id, text, "id", 0.88, "regex:id", out)
+    }
     out.result()
   }
 
   /** app/security_manager.py:177-212 — rule-based postal/address/name NER. */
   def ruleNer(text: String): Vector[Hit] = {
+    val (_, hasDigit, hasJp) = triggers(text)
+    if (!hasDigit && !hasJp) return Vector.empty
     val out = new VectorBuilder[Hit]
-    scan(Patterns.Postal, text, "address", 0.85, "offline_rule_postal", out)
-    scan(Patterns.Address, text, "address", 0.80, "offline_rule_address", out)
-    scan(Patterns.NameKanji, text, "name", 0.75, "offline_rule_name", out)
-    scan(Patterns.NameHiragana, text, "name", 0.75, "offline_rule_name", out)
-    scan(Patterns.NameKatakana, text, "name", 0.75, "offline_rule_name", out)
+    if (hasDigit) scan(Patterns.Postal, text, "address", 0.85, "offline_rule_postal", out)
+    if (hasJp) {
+      scan(Patterns.Address, text, "address", 0.80, "offline_rule_address", out)
+      scan(Patterns.NameKanji, text, "name", 0.75, "offline_rule_name", out)
+      scan(Patterns.NameHiragana, text, "name", 0.75, "offline_rule_name", out)
+      scan(Patterns.NameKatakana, text, "name", 0.75, "offline_rule_name", out)
+    }
     out.result()
   }
 
