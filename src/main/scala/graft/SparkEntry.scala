@@ -233,7 +233,30 @@ object SparkEntry {
           lit(""" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""))
           .cast("long").as("n_bpe"))),
 
+    // policy gating (op 8): detection restricted to the {email, id} policy
+    "q_policy_counts" -> ((s, dir) =>
+      docsPii(s, dir)
+        .select(explode(PiiFunctions.classifyUdf(col("text"))).as("h"))
+        .where(col("h.kind").isin("email", "id"))
+        .groupBy(col("h.kind").as("kind")).agg(count(lit(1)).as("n"))),
+
+    // confidence threshold (op 9): fixed confs make this a kind filter
+    "q_conf_filter" -> ((s, dir) =>
+      docsPii(s, dir)
+        .select(explode(PiiFunctions.classifyUdf(col("text"))).as("h"))
+        .where(col("h.conf") >= 0.9)
+        .groupBy(col("h.kind").as("kind")).agg(count(lit(1)).as("n"))),
+
     // -- relational analogs (SURVEY ops 20-22, 26-27) --
+    // op 20/26 analog: per-group ordered concat + min/max union
+    "q_line_agg" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .agg(
+          concat_ws(" ", array_sort(collect_list(col("event_type")))).as("kinds"),
+          min(unix_millis(col("ts").cast("timestamp"))).as("first_ms"),
+          max(unix_millis(col("ts").cast("timestamp"))).as("last_ms"),
+          count(lit(1)).as("n"))),
+
     "q_top_customers" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
@@ -449,6 +472,26 @@ object SparkEntry {
     "q_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text," +
         " ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe FROM documents"),
+
+    "q_policy_counts" -> (piiCte +
+      ", hits AS (" +
+      s" SELECT 'email' AS kind, len(regexp_extract_all(text, '$reEmail')) AS n FROM docs" +
+      s" UNION ALL SELECT 'id', len(regexp_extract_all(text, '$reId')) FROM docs)" +
+      " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM hits GROUP BY kind HAVING SUM(n) > 0"),
+
+    // conf >= 0.9 keeps email (.99), phone (.95), amount (.90); drops id (.88)
+    "q_conf_filter" -> (piiCte +
+      ", hits AS (" +
+      s" SELECT 'email' AS kind, len(regexp_extract_all(text, '$reEmail')) AS n FROM docs" +
+      s" UNION ALL SELECT 'phone', len(regexp_extract_all(text, '$rePhone')) FROM docs" +
+      s" UNION ALL SELECT 'amount', len(regexp_extract_all(text, '$reAmount')) FROM docs)" +
+      " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM hits GROUP BY kind HAVING SUM(n) > 0"),
+
+    "q_line_agg" ->
+      ("SELECT user_id, string_agg(event_type, ' ' ORDER BY event_type) AS kinds," +
+        " CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms," +
+        " CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms," +
+        " COUNT(*) AS n FROM events GROUP BY user_id"),
 
     "q_top_customers" ->
       ("WITH rev AS (SELECT c_nationkey AS nation, c_custkey," +

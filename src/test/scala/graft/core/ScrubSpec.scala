@@ -1,0 +1,55 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for scrub internals not exercised by the CPython vectors:
+  * greedy span dedup (op 19 analog), trigger prefilter equivalence,
+  * line-scope vs whole-text divergence. */
+class ScrubSpec extends AnyFunSuite {
+
+  test("dedupSpans keeps leftmost-longest non-overlapping hits") {
+    def h(k: String, s: Int, e: Int) = Hit(k, "x" * (e - s), s, e, 0.9, "t")
+    // overlapping: [0,5) vs [3,8) → keep first; [8,10) disjoint kept;
+    // same start [12,20) vs [12,15) → longer kept
+    val in = Seq(h("a", 3, 8), h("b", 0, 5), h("c", 8, 10), h("d", 12, 15), h("e", 12, 20))
+    val out = Scrub.dedupSpans(in)
+    assert(out.map(x => (x.kind, x.start, x.end)) ==
+      Vector(("b", 0, 5), ("c", 8, 10), ("e", 12, 20)))
+  }
+
+  test("dedupSpans: touching spans both survive (end == next start)") {
+    def h(s: Int, e: Int) = Hit("k", "", s, e, 0.9, "t")
+    assert(Scrub.dedupSpans(Seq(h(0, 4), h(4, 8))).size == 2)
+  }
+
+  test("trigger prefilter never changes scrub output") {
+    // texts chosen to hit each trigger combination incl. none
+    val texts = Seq(
+      "no pii words only here",
+      "digits 123 4567 only", "at a@b.cc only", "kanji 山田太郎 only",
+      "mixed a@b.cc 03-1234-5678 山田太郎さん 〒123-4567 ¥1,234 ACC-12345",
+      "", "@", "1", "　")
+    texts.foreach { t =>
+      val full = Scrub.union(Scrub.FullOrder).matcher(t)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (full.find()) {
+        var idx = 1
+        while (full.group(idx) == null) idx += 1
+        sb.append(t, last, full.start())
+          .append("<" + Scrub.kindOf(Scrub.FullOrder(idx - 1)).toUpperCase + ">")
+        last = full.end()
+      }
+      sb.append(t.substring(last))
+      assert(Scrub.scrubTags(t, Scrub.FullOrder) == sb.toString, s"text=$t")
+    }
+  }
+
+  test("line scope differs from whole-text only on newline-spanning matches") {
+    // amount's \s? can swallow the newline before the digits
+    val t = "pay ¥\n1,234 now"
+    assert(Scrub.scrubTags(t) != Scrub.scrubTagsLines(t))
+    val clean = "line one a@b.cc\nline two 03-1234-5678"
+    assert(Scrub.scrubTags(clean) == Scrub.scrubTagsLines(clean))
+  }
+}
