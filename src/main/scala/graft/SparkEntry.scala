@@ -233,6 +233,22 @@ object SparkEntry {
           lit(""" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""))
           .cast("long").as("n_bpe"))),
 
+    // input validation (op 1): size bounds + source allowlist, both
+    // pushdown-friendly predicates
+    "q_validate" -> ((s, dir) =>
+      docs(s, dir).groupBy(
+        (col("n_chars").between(50, 500) &&
+          col("source").rlike("^src[0-9]+$")).as("valid"))
+        .agg(count(lit(1)).as("n"))),
+
+    // /detect/summary parity (op 23 quirk): amount silently excluded from
+    // the counts dict (app/main.py:647,672-673)
+    "q_summary_counts" -> ((s, dir) =>
+      docsPii(s, dir)
+        .select(explode(PiiFunctions.classifyUdf(col("text"))).as("h"))
+        .where(col("h.kind") =!= "amount")
+        .groupBy(col("h.kind").as("kind")).agg(count(lit(1)).as("n"))),
+
     // policy gating (op 8): detection restricted to the {email, id} policy
     "q_policy_counts" -> ((s, dir) =>
       docsPii(s, dir)
@@ -472,6 +488,17 @@ object SparkEntry {
     "q_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text," +
         " ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe FROM documents"),
+
+    "q_validate" ->
+      ("SELECT (n_chars BETWEEN 50 AND 500 AND regexp_matches(source, '^src[0-9]+$')) AS valid," +
+        " COUNT(*) AS n FROM documents GROUP BY valid"),
+
+    "q_summary_counts" -> (piiCte +
+      ", hits AS (" +
+      s" SELECT 'email' AS kind, len(regexp_extract_all(text, '$reEmail')) AS n FROM docs" +
+      s" UNION ALL SELECT 'phone', len(regexp_extract_all(text, '$rePhone')) FROM docs" +
+      s" UNION ALL SELECT 'id', len(regexp_extract_all(text, '$reId')) FROM docs)" +
+      " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM hits GROUP BY kind HAVING SUM(n) > 0"),
 
     "q_policy_counts" -> (piiCte +
       ", hits AS (" +

@@ -35,6 +35,58 @@ object StreamingPipeline {
         sum(aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v))
           .as("n_pii_hits"))
 
+  /** A closed crawl-host session: pages from one host with < `gap` between
+    * consecutive events. */
+  final case class HostSession(host: String, nPages: Long, nKeep: Long,
+                               startMs: Long, endMs: Long)
+
+  final case class HostState(nPages: Long, nKeep: Long,
+                                     startMs: Long, lastMs: Long)
+
+  /** Custom streaming state (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * per-host crawl sessions with an event-time gap — emits a session row
+    * when a host goes quiet for `gapMs` (via EventTimeTimeout). The batch
+    * twin is the lag/running-sum sessionization in q_sessionize; this is the
+    * unbounded-input version with explicit state + timeout semantics. */
+  def hostSessions(scored: DataFrame, gapMs: Long = 3600000L,
+                   watermark: String = "2 hours"): org.apache.spark.sql.Dataset[HostSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      // the watermark column itself must flow into the stateful operator —
+      // selecting a derived value instead detaches the event-time metadata
+      .select(Pipeline.hostCol(col("url")).as("host"), col("warc_ts"),
+        col("keep").cast("long").as("k"))
+      .withWatermark("warc_ts", watermark)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostState, HostSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (host, rows, state: GroupState[HostState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(HostSession(host, s.nPages, s.nKeep, s.startMs, s.lastMs))
+          } else {
+            var out = List.empty[HostSession]
+            var st = state.getOption.getOrElse(HostState(0, 0, Long.MaxValue, Long.MinValue))
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, k) =>
+              val ms = ts.getTime
+              if (st.nPages > 0 && ms - st.lastMs > gapMs) {
+                out ::= HostSession(host, st.nPages, st.nKeep, st.startMs, st.lastMs)
+                st = HostState(0, 0, Long.MaxValue, Long.MinValue)
+              }
+              st = HostState(st.nPages + 1, st.nKeep + k,
+                math.min(st.startMs, ms), math.max(st.lastMs, ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            out.reverseIterator
+          }
+      }
+  }
+
   /** File-source entry point: new parquet page files appearing under `path`
     * stream through the pipeline into partitioned parquet, checkpointed —
     * the streaming twin of the batch ledger resume. */

@@ -33,6 +33,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stateful host sessionization closes sessions on event-time gaps") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // two hosts; host-a has a > 1h gap after its 3rd page → two sessions
+    def page(host: String, minute: Long, i: Long) = {
+      val p = DataGen.pageFor(i)
+      p.copy(url = s"https://$host.example/p/$i",
+        warc_ts = new java.sql.Timestamp(1704067200000L + minute * 60000L))
+    }
+    val batch1 = Seq(
+      page("host-a", 0, 1), page("host-a", 5, 2), page("host-a", 10, 3),
+      page("host-b", 0, 4), page("host-b", 20, 5))
+    val batch2 = Seq(page("host-a", 100, 6), page("host-a", 105, 7))
+    // a far-future page advances the watermark so timeouts fire
+    val flush = Seq(page("host-c", 4000, 8))
+    val stream = MemoryStream[Page]
+    val q = StreamingPipeline.hostSessions(
+        StreamingPipeline.run(spark, stream.toDF()), gapMs = 3600000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    stream.addData(flush); q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[StreamingPipeline.HostSession]
+      .collect().sortBy(s => (s.host, s.startMs))
+    val a = sessions.filter(_.host == "host-a.example")
+    assert(a.length == 2, s"host-a sessions: ${sessions.mkString(";")}")
+    assert(a(0).nPages == 3 && a(1).nPages == 2)
+    assert(sessions.count(_.host == "host-b.example") == 1)
+  }
+
   test("watermarked keep-rate window aggregates per event-time hour") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
