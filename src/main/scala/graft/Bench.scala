@@ -77,7 +77,7 @@ object Bench {
     job() // JIT warm-up pass, untimed
     var best = Double.MaxValue
     var bestUtil = 0.0
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "6").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum

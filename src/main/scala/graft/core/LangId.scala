@@ -24,6 +24,40 @@ final case class LangIdModel(
     defaultLogProb: Array[Double]
 ) extends Serializable {
 
+  // open-address index over gramKeys, rebuilt lazily per JVM after broadcast
+  // deserialization (1 probe vs ~15 binary-search steps per gram lookup)
+  @transient private lazy val (idxTable, idxMask) = {
+    var cap = Integer.highestOneBit(gramKeys.length * 4 - 1) << 1
+    if (cap < 16) cap = 16
+    val table = Array.fill(cap)(-1)
+    val mask = cap - 1
+    var r = 0
+    while (r < gramKeys.length) {
+      var i = (mixHash(gramKeys(r)) & mask).toInt
+      while (table(i) >= 0) i = (i + 1) & mask
+      table(i) = r
+      r += 1
+    }
+    (table, mask)
+  }
+
+  private def mixHash(x0: Long): Long = {
+    var x = x0 * 0xbf58476d1ce4e5b9L
+    x ^= x >>> 32
+    x
+  }
+
+  private def lookup(key: Long): Int = {
+    var i = (mixHash(key) & idxMask).toInt
+    while (true) {
+      val r = idxTable(i)
+      if (r < 0) return -1
+      if (gramKeys(r) == key) return r
+      i = (i + 1) & idxMask
+    }
+    -1
+  }
+
   /** (bestLang, confidence in [0,1]) — confidence is the softmax weight of
     * the winning language over the candidate set. Allocation-free per call
     * beyond the normalized prefix buffer and the score array. */
@@ -39,7 +73,7 @@ final case class LangIdModel(
         var key = len.toLong << 48
         var j = 0
         while (j < len) { key |= t.charAt(pos + j).toLong << (j * 16); j += 1 }
-        val idx = java.util.Arrays.binarySearch(gramKeys, key)
+        val idx = lookup(key)
         if (idx >= 0) {
           val off = idx * nl
           var i = 0
