@@ -1,0 +1,51 @@
+package graft
+
+import graft.spark.{IcebergishSink, Pipeline}
+import org.apache.spark.sql.SparkSession
+
+/** Production-style entry point — what a user submits to a cluster:
+  *
+  *   spark-submit --class graft.RunPipeline app.jar \
+  *     <pagesParquet> <outTable> [inputSnapshotId] [scrubMode]
+  *
+  * Reads the Iceberg-style pages table, runs the full quality-filter +
+  * scrub pipeline, writes the partitioned sink with per-bucket lineage, and
+  * prints a one-line JSON run report. Re-running after a failure resumes:
+  * committed buckets are skipped (see IcebergishSink).
+  *
+  * Locally the master comes from SPARK_GRAFT_CPUS (local[n]); under
+  * spark-submit the master/conf come from the submit environment and the
+  * builder leaves them untouched.
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunPipeline <pagesParquet> <outTable> [inputSnapshot] [scrubMode]")
+    val Array(in, out) = args.take(2)
+    val inputSnapshot = if (args.length > 2) args(2) else "unknown"
+    val scrubMode = if (args.length > 3) args(3) else "dict"
+
+    val builder = SparkSession.builder().appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    sys.env.get("SPARK_GRAFT_CPUS").foreach { c =>
+      builder.master(s"local[$c]").config("spark.sql.shuffle.partitions", c)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.ui.enabled", "false")
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val conf = Pipeline.Conf(scrubMode = scrubMode)
+    val t0 = System.nanoTime()
+    val scored = Pipeline.withBucket(
+      Pipeline.run(spark, spark.read.parquet(in), conf), conf)
+    val report = IcebergishSink.writeResumable(spark, scored, out, conf, inputSnapshot)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"snapshot":"${report.snapshotId}","rows":${report.rows},""" +
+        s""""keep_rows":${report.keepRows},"buckets_written":${report.bucketsWritten.size},""" +
+        s""""buckets_skipped":${report.bucketsSkipped.size},"sec":$sec,""" +
+        s""""docs_per_sec":${if (report.bucketsWritten.nonEmpty) report.rows / sec else 0.0}}""")
+    spark.stop()
+  }
+}

@@ -13,6 +13,20 @@ final class LongHashSet(initialCapacity: Int = 64) {
 
   def size: Int = used + (if (hasZero) 1 else 0)
 
+  /** Reset for reuse without releasing the table (scratch-buffer pattern —
+    * the quality scan runs per row and would otherwise allocate two tables
+    * per document). */
+  def clear(): Unit = {
+    // don't let one pathological document pin a huge table on the thread
+    if (cap > 8192) {
+      cap = 8192
+      mask = cap - 1
+      table = new Array[Long](cap)
+    } else java.util.Arrays.fill(table, 0L)
+    used = 0
+    hasZero = false
+  }
+
   /** Returns true if newly added. */
   def add(key0: Long): Boolean = {
     if (key0 == 0L) {

@@ -58,6 +58,11 @@ object Quality {
   private def isAsciiSpace(c: Char): Boolean = // Java regex \s (no UNICODE flag)
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  // per-thread scratch tables (executor threads each score many rows; the
+  // clear() costs a fill over the used capacity, far below two allocations)
+  private val tokScratch = ThreadLocal.withInitial[LongHashSet](() => new LongHashSet(256))
+  private val lineScratch = ThreadLocal.withInitial[LongHashSet](() => new LongHashSet(64))
+
   /** Single-scan metrics: no token/line Strings are materialized — tokens and
     * lines are identified by rolling 64-bit hashes (collision odds ~1e-13 per
     * document; only distinct-count stats depend on them). Equivalent to the
@@ -76,11 +81,11 @@ object Quality {
     var tokLen = 0
     var tokHash = 0xcbf29ce484222325L
     var tokHasAlpha = false
-    val tokSet = new LongHashSet(64)
+    val tokSet = tokScratch.get(); tokSet.clear()
     // line state
     var nLines = 1L
     var lineHash = 0xcbf29ce484222325L
-    val lineSet = new LongHashSet(16)
+    val lineSet = lineScratch.get(); lineSet.clear()
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
