@@ -45,6 +45,22 @@ class ScrubSpec extends AnyFunSuite {
     }
   }
 
+  test("RefAlias Faker-slot branches are deterministic and shape-correct") {
+    val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
+    def a(kind: String, orig: String) = RefAlias.alias(kind, orig, key, "ns")
+    // determinism: same inputs → same alias; different orig → (almost surely) different
+    assert(a("email", "x@y.zz") == a("email", "x@y.zz"))
+    assert(a("email", "x@y.zz") != a("email", "q@y.zz"))
+    // shapes mirror app/alias.py formats
+    assert(a("email", "x@y.zz").matches("""[a-z]+\d{2}@(example\.dev|example\.com|invalid\.test)"""))
+    assert(a("name", "山田太郎").matches("""[一-龠]+ .+"""))
+    assert(a("address", "東京都X").matches(""".+[都道府県].+\d+-\d+-\d+"""))
+    // phone/amount/id shapes (byte-parity covered by RefParitySpec)
+    assert(a("phone", "03-1111-2222").matches("""0\d-\d{4}-\d{4}"""))
+    assert(a("amount", "¥1,000").matches("""¥\d,\d{3},\d{3}"""))
+    assert(a("id", "ACC-12345").matches("""(USR|ORD|ACC)-\d{5}"""))
+  }
+
   test("line scope differs from whole-text only on newline-spanning matches") {
     // amount's \s? can swallow the newline before the digits
     val t = "pay ¥\n1,234 now"

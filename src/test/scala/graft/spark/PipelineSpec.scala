@@ -125,6 +125,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in pipeline plan:\n$plan")
   }
 
+  test("typed Aggregator run stats equal direct aggregation") {
+    val stats = Metrics.collect(result)
+    assert(stats.docs == 1500)
+    assert(stats.kept == result.where(col("keep")).count())
+    assert(stats.piiDocs == result.where(size(map_keys(col("n_hits"))) > 0).count())
+    val byReason = result.where(!col("keep")).groupBy("drop_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.droppedByReason == byReason)
+    assert(stats.keepRate > 0.3 && stats.keepRate < 1.0)
+  }
+
   test("salted repartition balances Zipf host skew across shuffle partitions") {
     val conf = Pipeline.Conf(numBuckets = 16, saltBuckets = 32)
     val df = Pipeline.withBucket(
