@@ -362,6 +362,10 @@ object SparkEntry {
       Pipeline.run(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")),
 
+    "q_pipeline_dedup" -> ((s, _) =>
+      Pipeline.runDeduped(s, DataGen.pages(s, 2000).toDF())
+        .drop("alias_dict", "n_hits", "quality")),
+
     "q_langid" -> ((s, dir) => {
       val b = s.sparkContext.broadcast(graft.core.LangId.default)
       docs(s, dir).select(col("doc_id"),

@@ -77,6 +77,23 @@ object Pipeline {
         col("scrub.counts").as("n_hits"))
   }
 
+  /** Training-pipeline order: exact-dedup the crawl BEFORE paying for
+    * scoring/scrub. Representative = lexicographically-first url per
+    * normalized-text fingerprint. Shape chosen for skew safety: a
+    * `groupBy(fp).agg(min(url))` (map-side partial combine, so a viral
+    * duplicated page cannot hot-key a reducer) followed by a left-semi join
+    * — rather than a window over fp, which would funnel every copy of a hot
+    * fingerprint through one task. */
+  def runDeduped(spark: SparkSession, pages: DataFrame,
+                 conf: Conf = Conf()): DataFrame = {
+    val withFp = pages.withColumn("fp", PiiFunctions.fingerprintUdf(col("text")))
+    val reps = withFp.groupBy(col("fp")).agg(min(col("url")).as("url"))
+    val survivors = withFp
+      .join(reps, Seq("fp", "url"), "left_semi")
+      .drop("fp")
+    run(spark, survivors, conf)
+  }
+
   /** Host of a url (partition/skew key). */
   def hostCol(url: Column): Column = regexp_extract(url, "://([^/]+)", 1)
 

@@ -45,6 +45,29 @@ class ScrubSpec extends AnyFunSuite {
     }
   }
 
+  test("megabyte documents go through every stage in bounded time") {
+    val rnd = new java.util.Random(7)
+    val words = Vector("the", "data", "pipeline", "reads", "rows", "03-1234-5678",
+      "a@b.cc", "¥1,234", "and", "writes", "them", "back", "quickly")
+    val sb = new StringBuilder
+    while (sb.length < 1000000) {
+      sb.append(words(rnd.nextInt(words.size))).append(' ')
+      if (rnd.nextInt(20) == 0) sb.append('\n')
+    }
+    val big = sb.toString
+    val t0 = System.nanoTime()
+    val d = Scrub.scrubDict(big)
+    val m = Quality.metrics(big)
+    val (l, _) = LangId.default.classify(big)
+    val p = Perplexity.default.perplexity(big)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, s"1MB doc took ${sec}s")
+    assert(d.counts("phone") > 1000 && d.counts("email") > 1000)
+    assert(m.nChars == big.length && l == "en" && p < 100)
+    // scrubbed output carries no original PII strings
+    assert(!d.scrubbed.contains("03-1234-5678") && !d.scrubbed.contains("a@b.cc"))
+  }
+
   test("RefAlias Faker-slot branches are deterministic and shape-correct") {
     val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
     def a(kind: String, orig: String) = RefAlias.alias(kind, orig, key, "ns")

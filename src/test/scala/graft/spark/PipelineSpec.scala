@@ -125,6 +125,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in pipeline plan:\n$plan")
   }
 
+  test("runDeduped drops exact duplicates before scoring, keeps first url") {
+    import spark.implicits._
+    val base = DataGen.pages(spark, 400, partitions = 4).collect()
+    // plant exact copies under later urls
+    val dups = base.take(50).map(p => p.copy(url = "https://zzz" + p.url.drop(8)))
+    val df = (base ++ dups).toSeq.toDF()
+    val out = Pipeline.runDeduped(spark, df)
+    // the generated corpus itself contains a few natural exact dups
+    // (truncated too-short docs collide), so expect distinct fingerprints
+    val expected = base.map(p => graft.core.TextDedup.fingerprint(p.text)).distinct.length
+    assert(out.count() == expected)
+    assert(out.where(col("url").startsWith("https://zzz")).count() == 0)
+    // surviving rows score identically to the plain pipeline
+    val survivors = out.select("url").collect().map(_.getString(0)).toSet
+    val plain = Pipeline.run(spark, base.toSeq.toDF())
+      .select("url", "keep", "scrubbed_text").collect()
+      .filter(r => survivors(r.getString(0)))
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+    val deduped = out.select("url", "keep", "scrubbed_text").collect().map(r =>
+      (r.getString(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+    assert(plain.toSeq == deduped.toSeq)
+  }
+
   test("typed Aggregator run stats equal direct aggregation") {
     val stats = Metrics.collect(result)
     assert(stats.docs == 1500)
