@@ -77,11 +77,17 @@ object Bench {
     job() // JIT warm-up pass, untimed
     var best = Double.MaxValue
     var bestUtil = 0.0
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
+    val minRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    (0 until runs).foreach { r =>
+    // adaptive sampling: the host steals CPU in bursts (see BENCH.md), so a
+    // short job gets extra samples — best-of-N needs at least one quiet
+    // window. Floor minRuns, keep sampling until ~45s of timed work or 12
+    // runs, whichever first.
+    var r = 0
+    var timedTotal = 0.0
+    while (r < minRuns || (timedTotal < 45.0 && r < 12)) {
       val cpu0 = osBean.getProcessCpuTime
       val gc0 = gcMs
       val sec = timeSec(job())
@@ -93,6 +99,8 @@ object Bench {
       System.err.println(
         f"[bench] level=$p run=$r sec=$sec%.3f cpuSec=$cpuSec%.1f gcSec=$gcSec%.1f util=$util%.2f")
       if (sec < best) { best = sec; bestUtil = util }
+      timedTotal += sec
+      r += 1
     }
     s.stop()
     println(s"LEVELRESULT $p ${nDocs / best} $best $bestUtil")
