@@ -362,6 +362,16 @@ object SparkEntry {
       Pipeline.run(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")),
 
+    // /redact/preview analog (SURVEY §3.3): the exploded hits relation with
+    // exact offsets instead of bboxes
+    "q_preview" -> ((s, dir) =>
+      docsPii(s, dir)
+        .select(col("doc_id"), posexplode(PiiFunctions.detectAllUdf(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col.kind"), col("col.text"),
+          col("col.start"), col("col.end"),
+          floor(col("col.conf") * 100).cast("long").as("conf_centi"),
+          col("col.reason"))),
+
     "q_pipeline_dedup" -> ((s, _) =>
       Pipeline.runDeduped(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")),

@@ -139,10 +139,13 @@ object DataGen {
     // 5% claimed-lang mismatch
     val claimed =
       if (rnd.nextDouble() < 0.05) Langs((rnd.nextInt(Langs.size)))._1 else lang
+    // valid HTML: entity-escape so HtmlText.extract round-trips the text
+    // column byte-identically (the input_hint invariant)
+    val escaped = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     Page(
       url = s"https://host-$host.example/p/$id",
       warc_ts = new Timestamp(1704067200000L + id * 1000L),
-      html = ("<html><body>" + text + "</body></html>").getBytes("UTF-8"),
+      html = ("<html><body>" + escaped + "</body></html>").getBytes("UTF-8"),
       text = text,
       lang = claimed)
   }

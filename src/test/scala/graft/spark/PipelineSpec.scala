@@ -113,6 +113,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("input_hint invariant: text extracted from html is byte-identical per url") {
+    val rows = pages.collect()
+    rows.foreach { p =>
+      assert(graft.core.HtmlText.extract(p.html) == p.text, s"url=${p.url}")
+    }
+    // and through the Spark path
+    import spark.implicits._
+    val mism = pages.map(p => graft.core.HtmlText.extract(p.html) == p.text)
+      .filter(!_).count()
+    assert(mism == 0)
+  }
+
   test("DataGen is deterministic and partitioning-independent") {
     val a = DataGen.pages(spark, 300, partitions = 2).collect().sortBy(_.url)
     val b = DataGen.pages(spark, 300, partitions = 16).collect().sortBy(_.url)
