@@ -74,6 +74,14 @@ object NerSlot {
       .toDF(idCol, "model_hits")
   }
 
+  /** Row-level inference UDF (no join needed — the gazetteer stand-in is
+    * per-row; a batched real model uses [[nerHits]]'s mapPartitions path). */
+  def modelHitsUdf(model: Broadcast[GazetteerModel]) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) Vector.empty[Hit]
+      else decoded.computeIfAbsent(model.id, _ => model.value).infer(Seq(text)).head
+    }
+
   /** merge_with_ner (op 14): regex hits ++ model hits per row. */
   def mergedHits(df: DataFrame, idCol: String, textCol: String,
                  model: Broadcast[GazetteerModel]): DataFrame =

@@ -25,6 +25,11 @@ object Pipeline {
         *          phone/amount/id, app/alias.py semantics);
         * "tags" = fixed <KIND> tokens. */
       scrubMode: String = "dict",
+      /** Security-level analog (reference security_manager.py:475-486 →
+        * SURVEY §1.1): rule-only detection by default; true adds the
+        * broadcast-model NER column. Plan-construction-time gating — when
+        * off, the stage isn't in the plan at all. */
+      modelNer: Boolean = false,
       numBuckets: Int = 64,
       saltBuckets: Int = 8)
 
@@ -64,7 +69,7 @@ object Pipeline {
         .when(latin && col("ppl") > qc.maxPpl, "perplexity")
         .otherwise("")
 
-    withStages
+    val base = withStages
       .withColumn("drop_reason", dropReason)
       .withColumn("keep", col("drop_reason") === lit(""))
       .select(
@@ -74,7 +79,17 @@ object Pipeline {
         col("keep"), col("drop_reason"),
         col("scrub.scrubbed").as("scrubbed_text"),
         col("scrub.aliases").as("alias_dict"),
-        col("scrub.counts").as("n_hits"))
+        col("scrub.counts").as("n_hits"), col("text"))
+
+    // model-assisted NER (security-level "enhanced" path): broadcast model,
+    // per-row inference, narrow — added to the plan only when enabled
+    val withNer =
+      if (!conf.modelNer) base
+      else {
+        val bNer = spark.sparkContext.broadcast(NerSlot.defaultModel)
+        base.withColumn("model_hits", NerSlot.modelHitsUdf(bNer)(col("text")))
+      }
+    withNer.drop("text")
   }
 
   /** Training-pipeline order: exact-dedup the crawl BEFORE paying for

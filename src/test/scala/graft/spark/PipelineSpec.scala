@@ -113,6 +113,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("modelNer flag gates the NER stage at plan-construction time") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://a.example/1", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        ("the quick brown fox and 山田太郎 of Example Corp sat by the river " * 3), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val off = Pipeline.run(spark, df)
+    assert(!off.columns.contains("model_hits"))
+    val on = Pipeline.run(spark, df, Pipeline.Conf(modelNer = true))
+    assert(on.columns.contains("model_hits"))
+    val hits = on.select(explode(col("model_hits")).as("h"))
+      .select(col("h.kind"), col("h.reason")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hits.contains(("name", "model:PER")) && hits.contains(("org", "model:ORG")))
+    assert(!on.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("input_hint invariant: text extracted from html is byte-identical per url") {
     val rows = pages.collect()
     rows.foreach { p =>
