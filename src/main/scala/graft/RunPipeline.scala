@@ -37,9 +37,12 @@ object RunPipeline {
 
     val conf = Pipeline.Conf(scrubMode = scrubMode)
     val t0 = System.nanoTime()
-    val scored = Pipeline.withBucket(
-      Pipeline.run(spark, spark.read.parquet(in), conf), conf)
-    val report = IcebergishSink.writeResumable(spark, scored, out, conf, inputSnapshot)
+    // shuffle raw pages by (bucket, salt), THEN score (narrow) — the shuffle
+    // moves ~2× fewer bytes than shuffling the scored output
+    val bucketed = Pipeline.withBucket(spark.read.parquet(in), conf)
+    val report = IcebergishSink.writeResumable(spark, bucketed, out, conf,
+      inputSnapshot,
+      scoreAfterShuffle = df => Pipeline.withBucket(Pipeline.run(spark, df, conf), conf))
     val sec = (System.nanoTime() - t0) / 1e9
     println(
       s"""{"snapshot":"${report.snapshotId}","rows":${report.rows},""" +
