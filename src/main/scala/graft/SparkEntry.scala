@@ -344,11 +344,16 @@ object SparkEntry {
         "embedding", cents, q, 10, nprobe = 4)
     }),
 
+    // multimodal plumbing — output projected to SCALAR columns (the driver's
+    // pandas compare cannot hash array cells); the feature vectors themselves
+    // stay covered by MultimodalNerSpec. maxSide=800 exercises the resize cap.
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaTable(s,
         docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("b")),
         "doc_id", "b")
-      Multimodal.featurize(media).toDF()
+      Multimodal.featurize(media, maxSide = 800).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          size(col("features")).cast("long").as("n_feat"))
     }),
 
     "q_frame_sample" -> ((s, dir) => {
@@ -356,6 +361,8 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("b")),
         "doc_id", "b")
       Multimodal.frameSample(media).toDF()
+        .select(col("media_id"), col("frame_no"), col("ts_ms"),
+          size(col("features")).cast("long").as("n_feat"))
     }),
 
     "q_pipeline" -> ((s, _) =>
@@ -578,6 +585,27 @@ object SparkEntry {
       ("SELECT c_nationkey AS nation, COUNT(*) AS n," +
         " CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents" +
         " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"),
+
+    // media metadata is id-arithmetic (Multimodal.mediaTable) and the resize
+    // rule is floor(x+0.5) = Java Math.round — both reproducible here; n_feat
+    // pins the stub's fixed feature width
+    "q_media_features" ->
+      ("WITH m AS (SELECT doc_id AS media_id," +
+        " 320 + (doc_id * 37) % 1700 AS w, 240 + (doc_id * 53) % 900 AS h FROM documents)" +
+        " SELECT media_id," +
+        " CAST(CASE WHEN greatest(w, h) <= 800 THEN w" +
+        "  ELSE greatest(1, floor(w * (800.0 / greatest(w, h)) + 0.5)) END AS INT) AS width," +
+        " CAST(CASE WHEN greatest(w, h) <= 800 THEN h" +
+        "  ELSE greatest(1, floor(h * (800.0 / greatest(w, h)) + 0.5)) END AS INT) AS height," +
+        " CAST(16 AS BIGINT) AS n_feat FROM m"),
+
+    "q_frame_sample" ->
+      ("WITH m AS (SELECT doc_id AS media_id," +
+        " CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + (doc_id * 97) % 60000 END AS dur FROM documents)," +
+        " v AS (SELECT media_id, least(8, dur // 10000 + 1) AS n FROM m WHERE dur > 0)," +
+        " f AS (SELECT media_id, UNNEST(range(0, n)) AS fn FROM v)" +
+        " SELECT media_id, CAST(fn AS INT) AS frame_no," +
+        " CAST(fn * 10000 AS BIGINT) AS ts_ms, CAST(16 AS BIGINT) AS n_feat FROM f"),
 
     "q_lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus," +

@@ -72,15 +72,30 @@ object Ann {
       }
     }
 
-  /** Sign signature of an embedding against the planes. */
-  def signature(emb: Column, planes: Array[Array[Float]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(zip_with(emb, typedLit(p), (x, w) => x * w),
-        lit(0.0d), (s, v) => s + v)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  /** Sign signature of an embedding against the planes.
+    *
+    * One primitive-loop UDF computing the WHOLE signature — not per-plane
+    * `zip_with`/`aggregate` columns: Spark's higher-order array functions are
+    * interpreted (excluded from whole-stage codegen), so nBits×tables of them
+    * cost ~10× on a full-table scan (same lesson as [[dotQuantizedUdf]]). */
+  def signature(emb: Column, planes: Array[Array[Float]]): Column =
+    signatureUdf(planes)(emb)
+
+  def signatureUdf(planes: Array[Array[Float]]) =
+    org.apache.spark.sql.functions.udf { (v: Array[Float]) =>
+      var s = 0L
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(p.length, v.length)
+        while (j < n) { d += p(j).toDouble * v(j); j += 1 }
+        if (d >= 0) s |= (1L << i)
+        i += 1
+      }
+      s
     }
-    bits.reduce(_ + _)
-  }
 
   /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
     * quantizer for IVF. The sample bound keeps the driver O(sample×dim);
@@ -88,8 +103,22 @@ object Ann {
     * exactly what this does. */
   def kmeansCentroids(df: DataFrame, embCol: String, k: Int, iters: Int = 10,
                       sampleN: Int = 4096, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = df.select(col(embCol)).limit(sampleN)
+    // UNIFORM sample — a bare limit(sampleN) takes the first partitions in
+    // file order, biasing centroids to the head of the table. Instead:
+    // hash-mod filter (layout-independent, uniform over the whole table,
+    // expected ~2×sampleN survivors so the collect stays bounded), then a
+    // strided driver-side downsample to sampleN — no head bias anywhere.
+    val n = df.count()
+    val mod = math.max(1L, n / (2L * sampleN))
+    val picked = df.select(col(embCol))
+      .where(pmod(hash(col(embCol)), lit(mod)) === 0)
       .collect().map(_.getSeq[Float](0).toArray)
+      // collect order is partition order — sort by content hash so the
+      // centroids are identical for any partition layout / parallelism
+      .sortBy(v => scala.util.hashing.MurmurHash3.arrayHash(v))
+    val sample =
+      if (picked.length <= sampleN) picked
+      else Array.tabulate(sampleN)(i => picked((i.toLong * picked.length / sampleN).toInt))
     require(sample.length >= k, s"need >= $k sample vectors")
     val dim = sample(0).length
     // deterministic init: evenly strided sample points
@@ -180,10 +209,32 @@ object Ann {
       }
       s
     }.toArray
-    val candidate = allPlanes.zipWithIndex.map { case (planes, t) =>
-      bit_count(signature(col(embCol), planes).bitwiseXOR(lit(qSig(t)))) <= 2
-    }.reduce(_ || _)
-    df.where(candidate)
+    // one primitive-loop UDF across all tables, short-circuiting on the
+    // first table that admits the row — the scan stays in one codegen stage
+    // with a single non-codegen leaf instead of `tables` interpreted trees
+    val planesArr = allPlanes.toArray
+    val candUdf = org.apache.spark.sql.functions.udf { (v: Array[Float]) =>
+      var t = 0
+      var cand = false
+      while (!cand && t < planesArr.length) {
+        val planes = planesArr(t)
+        var s = 0L
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var d = 0.0
+          var j = 0
+          val n = math.min(p.length, v.length)
+          while (j < n) { d += p(j).toDouble * v(j); j += 1 }
+          if (d >= 0) s |= (1L << i)
+          i += 1
+        }
+        cand = java.lang.Long.bitCount(s ^ qSig(t)) <= 2
+        t += 1
+      }
+      cand
+    }
+    df.where(candUdf(col(embCol)))
       .select(col(idCol), cosine(col(embCol), typedLit(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -45,6 +45,37 @@ object IcebergishSink {
   private def ledgerDir(out: String): Path = Paths.get(out, "_ledger")
   private def dataDir(out: String): Path = Paths.get(out, "data")
 
+  /** Per-bucket (rows, keep_rows, hits) accumulated INSIDE the write job —
+    * lineage at 100 TB cannot afford a second full scan of what was just
+    * written. Each task owns its local copy (no contention); the driver
+    * merges per-task maps. Updates ride the RESULT stage of the write
+    * action, so each successful task is counted exactly once. */
+  final class BucketStatsAcc
+      extends org.apache.spark.util.AccumulatorV2[
+        (Int, Boolean, Long), java.util.HashMap[Integer, Array[Long]]] {
+    private val m = new java.util.HashMap[Integer, Array[Long]]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BucketStatsAcc = {
+      val c = new BucketStatsAcc
+      m.forEach((k, v) => c.m.put(k, v.clone()))
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Boolean, Long)): Unit = {
+      val a = m.computeIfAbsent(v._1, _ => new Array[Long](3))
+      a(0) += 1
+      if (v._2) a(1) += 1
+      a(2) += v._3
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, Boolean, Long), java.util.HashMap[Integer, Array[Long]]]): Unit =
+      other.value.forEach { (k, v) =>
+        val a = m.computeIfAbsent(k, _ => new Array[Long](3))
+        a(0) += v(0); a(1) += v(1); a(2) += v(2)
+      }
+    override def value: java.util.HashMap[Integer, Array[Long]] = m
+  }
+
   /** Buckets already committed (ledger entry present). */
   def completedBuckets(out: String): Set[Int] = {
     val dir = ledgerDir(out)
@@ -109,29 +140,34 @@ object IcebergishSink {
       todo.foreach(b => deleteRecursively(dataDir(out).resolve(s"part_bucket=$b")))
 
       val subset = input.where(col("part_bucket").isin(todo: _*))
-      // run metrics ride the write job itself (op 27 analog: the reference's
-      // X-Replaced-* headers) — no second pass needed for the run report
-      val obs = new org.apache.spark.sql.Observation(s"graft-$snapshotId")
+
+      // run metrics + per-bucket lineage ride the write job itself (op 27
+      // analog: the reference's X-Replaced-* headers) — NO second pass over
+      // the written data. The tap replaces `part_bucket` with an identity
+      // UDF that feeds the accumulator; nondeterministic so Catalyst never
+      // duplicates or collapses the side effect.
+      val acc = new BucketStatsAcc
+      spark.sparkContext.register(acc, s"graft-bucket-stats-$snapshotId")
+      val tap = udf { (bucket: Int, keep: Boolean, hits: Long) =>
+        acc.add((bucket, keep, hits)); bucket
+      }.asNondeterministic()
+      val hitsTotal = coalesce(
+        aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v), lit(0L))
       scoreAfterShuffle(Pipeline.salted(subset, conf))
-        .observe(obs,
-          count(lit(1)).as("rows"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("keep_rows"),
-          sum(aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v)).as("hits"))
+        .withColumn("part_bucket", tap(col("part_bucket"), col("keep"), hitsTotal))
         .write.partitionBy("part_bucket").mode("append")
         .parquet(dataDir(out).toString)
-      val observed = obs.get
-      System.err.println(s"[sink] observed: rows=${observed.getOrElse("rows", 0L)} " +
-        s"keep=${observed.getOrElse("keep_rows", 0L)} hits=${observed.getOrElse("hits", 0L)}")
 
-      // lineage stats from the committed files themselves (column-pruned scan)
-      val stats = spark.read.parquet(dataDir(out).toString)
-        .where(col("part_bucket").isin(todo: _*))
-        .groupBy("part_bucket")
-        .agg(count(lit(1)).as("rows"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
-          sum(aggregate(map_values(col("n_hits")), lit(0L), (a, v) => a + v)).as("hits"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val stats = {
+        val b = Map.newBuilder[Int, (Long, Long, Long)]
+        acc.value.forEach((k, v) => b += (k.intValue -> (v(0), v(1), v(2))))
+        b.result()
+      }
+      val totals = stats.values.foldLeft((0L, 0L, 0L)) { case ((r, kp, h), (a, b2, c)) =>
+        (r + a, kp + b2, h + c)
+      }
+      System.err.println(s"[sink] observed: rows=${totals._1} " +
+        s"keep=${totals._2} hits=${totals._3}")
 
       val now = System.currentTimeMillis()
       todo.foreach { b =>

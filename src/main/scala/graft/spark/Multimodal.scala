@@ -51,17 +51,19 @@ object Multimodal {
   }
 
   /** Deterministic media table derived from any binary column (tests use
-    * pages.html). Metadata synthesized from the content hash. */
+    * pages.html). Metadata synthesized from the row id with plain integer
+    * arithmetic — deterministic AND reproducible by the SQL oracle, so the
+    * downstream featurize/frame-sample queries get real DuckDB checks. */
   def mediaTable(spark: SparkSession, bin: DataFrame, idCol: String,
                  bytesCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     bin.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val h = math.abs(MurmurHash3.bytesHash(bytes, 7))
-        val kind = Vector("image", "audio", "video")((h % 3).toInt)
+        val kind = Vector("image", "audio", "video")((id % 3).toInt)
         MediaRow(id, bytes, MediaMeta(kind,
-          width = 320 + h % 1700, height = 240 + h % 900,
-          durationMs = if (kind == "image") 0L else 1000L + h % 60000,
+          width = (320 + (id * 37) % 1700).toInt,
+          height = (240 + (id * 53) % 900).toInt,
+          durationMs = if (kind == "image") 0L else 1000L + (id * 97) % 60000,
           codec = if (kind == "image") "png" else "opus"))
       }
   }
