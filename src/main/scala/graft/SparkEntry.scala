@@ -365,9 +365,12 @@ object SparkEntry {
           size(col("features")).cast("long").as("n_feat"))
     }),
 
+    // flagship pipeline over the deterministic generated corpus; timestamp
+    // emitted as epoch millis so the pinned-parquet compare is dtype-stable
     "q_pipeline" -> ((s, _) =>
       Pipeline.run(s, DataGen.pages(s, 2000).toDF())
-        .drop("alias_dict", "n_hits", "quality")),
+        .drop("alias_dict", "n_hits", "quality")
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")),
 
     // /redact/preview analog (SURVEY §3.3): the exploded hits relation with
     // exact offsets instead of bboxes
@@ -381,7 +384,8 @@ object SparkEntry {
 
     "q_pipeline_dedup" -> ((s, _) =>
       Pipeline.runDeduped(s, DataGen.pages(s, 2000).toDF())
-        .drop("alias_dict", "n_hits", "quality")),
+        .drop("alias_dict", "n_hits", "quality")
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")),
 
     "q_langid" -> ((s, dir) => {
       val b = s.sparkContext.broadcast(graft.core.LangId.default)
@@ -611,6 +615,40 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus," +
         " CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents," +
         " CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents," +
-        " COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus")
+        " COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    // ---- CPython-golden parquet oracles ------------------------------------
+    // RE2 cannot express the postal lookaround or MT19937 aliasing, so these
+    // two queries are checked against EXPECTED parquet computed by CPython
+    // running the reference semantics over the same sf0.01 corpus + planted
+    // PII (tools/gen_expected.py) — reference-independent, corpus-scale.
+    "q_scrub_ref" ->
+      ("SELECT doc_id, scrubbed FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/scrub_ref.parquet')"),
+
+    "q_preview" ->
+      ("SELECT doc_id, pos, kind, text, \"start\", \"end\", conf_centi, reason" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/preview.parquet')"),
+
+    // ---- self-generated regression pins ------------------------------------
+    // These queries have no independent engine to recompute them (model-based
+    // langid/perplexity; our own minhash/simhash/LSH/IVF constructions), so
+    // the oracle is a PINNED copy of a verified run's output (regenerated by
+    // tools/regen_pins.sh, reviewed at pin time; recall/parity properties are
+    // separately asserted in ScalaTest). A pin catches UNINTENDED semantic
+    // drift — it is a regression check, not an independent derivation.
+    "q_langid" -> pinSql("q_langid"),
+    "q_ppl" -> pinSql("q_ppl"),
+    "q_pipeline" -> pinSql("q_pipeline"),
+    "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
+    "q_dup_minhash" -> pinSql("q_dup_minhash"),
+    "q_dup_simhash" -> pinSql("q_dup_simhash"),
+    "q_ann_lsh" -> pinSql("q_ann_lsh"),
+    "q_ann_ivf" -> pinSql("q_ann_ivf")
   )
+
+  private val GoldenDir = "/root/repo/src/test/resources/golden"
+
+  private def pinSql(name: String): String =
+    s"SELECT * FROM read_parquet('$GoldenDir/pins_sf0.01/$name.parquet')"
 }

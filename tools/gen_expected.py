@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""CPython-golden EXPECTED parquet generator (dev-time only; output committed).
+
+Runs the REFERENCE semantics (union replace from app/main.py:100-131, HMAC
+seed from app/alias.py:4-7, MT19937 alias draws from app/alias.py:10-19,
+detector stack from app/detectors.py:28-38 + app/security_manager.py:177-212)
+in CPython over the synthetic sf corpus with the same planted PII the Spark
+queries use (SparkEntry.docsPii), and writes the expected outputs as parquet.
+
+These files become DuckDB oracles for the queries whose semantics RE2 cannot
+express (the postal lookaround, MT19937 aliasing) — a reference-INDEPENDENT
+corpus-scale check: CPython computes the answer, the Scala engine must agree
+row-for-row.
+
+Usage: python3 tools/gen_expected.py [sfDir] [outDir]
+Defaults: /root/testdata/sf0.01 -> src/test/resources/golden/expected_sf0.01
+"""
+import re, hmac, hashlib, base64, random, math, os, sys
+import duckdb, pyarrow as pa, pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/golden/expected_sf0.01"
+os.makedirs(OUT, exist_ok=True)
+
+# --- patterns exactly as the reference source defines them ---------------
+RE_EMAIL  = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+RE_PHONE  = re.compile(r"(?:0\d{1,4}-\d{1,4}-\d{3,4})|(?:\+81-\d{1,4}-\d{1,4}-\d{3,4})")
+RE_AMOUNT = re.compile(r"(?:¥|JPY)?\s?\d{1,3}(?:,\d{3})+")
+RE_ID     = re.compile(r"\b(?:ACC|USR|ORD)-\d{4,6}\b")
+RE_POSTAL = re.compile(r'(?:〒\s*)?(?<!\d)\d{3}[ -‐−–—－]?\d{4}(?![-\d])')
+SEP = r'[-．.・ー—－]'
+RE_ADDRESS = re.compile(rf'[一-龠]{{1,10}}[都道府県][一-龠]{{1,15}}[市区町村][一-龠0-9{SEP}\s]{{0,40}}')
+RE_NAME_K  = re.compile(r'[一-龠]{2,4}\s*[一-龠]{1,3}(?:さん|様|氏|先生|君|ちゃん)?')
+RE_NAME_H  = re.compile(r'[ぁ-ゔ]{3,8}(?:さん|様|氏|先生|君|ちゃん)?')
+RE_NAME_T  = re.compile(r'[ァ-ヶ]{3,8}(?:さん|様|氏|先生|君|ちゃん)?')
+
+KEY = base64.b64encode(b"graft-spark-pii-default-key!").decode()
+NS = "tenant-a"
+
+def seed_of(kind, orig):
+    key = base64.b64decode(KEY)
+    dig = hmac.new(key, f"{NS}|{kind}|{orig}".encode(), hashlib.sha256).digest()
+    return int.from_bytes(dig[:8], "big")
+
+# RefAlias stand-in locale data (core/RefAlias.scala — the Faker deviation
+# documented in SURVEY §7.4: same seed, same draw ORDER, own word lists)
+DOMAINS = ["example.dev", "example.com", "invalid.test"]
+ID_PREFIXES = ["USR", "ORD", "ACC"]
+USER_WORDS = ["sato", "suzuki", "takahashi", "tanaka", "ito", "watanabe",
+              "yamamoto", "nakamura", "kobayashi", "kato", "yoshida",
+              "yamada", "sasaki", "matsumoto"]
+
+def alias_value(kind, orig):
+    s = seed_of(kind, orig)
+    rnd = random.Random(s)
+    if kind == "phone":
+        return f"0{rnd.randint(1,9)}-{rnd.randint(1000,9999)}-{rnd.randint(1000,9999)}"
+    if kind == "amount":
+        return f"¥{rnd.randint(1,9)},{rnd.randint(0,999):03},{rnd.randint(0,999):03}"
+    if kind == "id":
+        return f"{rnd.choice(ID_PREFIXES)}-{rnd.randint(10000,99999)}"
+    if kind == "email":
+        fk = random.Random(s)  # the Faker stream is Random(seed) too
+        user = f"{fk.choice(USER_WORDS)}{fk.randint(10,99)}"
+        return f"{user}@{rnd.choice(DOMAINS)}"
+    raise ValueError(kind)
+
+def alias_with_jpy(kind, orig):
+    a = alias_value(kind, orig)
+    if kind == "amount" and "JPY" in orig:
+        return f"JPY {a.lstrip('¥').strip()}"
+    return a
+
+ORDERED = [("email", RE_EMAIL), ("phone", RE_PHONE),
+           ("amount", RE_AMOUNT), ("id", RE_ID)]
+UNION = re.compile("|".join(f"({p.pattern})" for _, p in ORDERED))
+
+def union_replace_ref(text):
+    def repl(m):
+        idx = next(i for i, g in enumerate(m.groups(), start=1) if g is not None)
+        kind, _ = ORDERED[idx - 1]
+        return alias_with_jpy(kind, m.group(0))
+    return UNION.sub(repl, text)
+
+def detect_all(text):
+    """classify_by_regex ++ rule NER, exact hit order (Detect.detectAll)."""
+    out = []
+    for m in RE_EMAIL.finditer(text):
+        out.append(("email", m.group(), m.start(), m.end(), 0.99, "regex:email"))
+    for m in RE_PHONE.finditer(text):
+        out.append(("phone", m.group(), m.start(), m.end(), 0.95, "regex:phone"))
+    for m in RE_AMOUNT.finditer(text):
+        out.append(("amount", m.group(), m.start(), m.end(), 0.90, "regex:amount"))
+    for m in RE_ID.finditer(text):
+        out.append(("id", m.group(), m.start(), m.end(), 0.88, "regex:id"))
+    for m in RE_POSTAL.finditer(text):
+        out.append(("address", m.group(), m.start(), m.end(), 0.85, "offline_rule_postal"))
+    for m in RE_ADDRESS.finditer(text):
+        out.append(("address", m.group(), m.start(), m.end(), 0.80, "offline_rule_address"))
+    for rx in (RE_NAME_K, RE_NAME_H, RE_NAME_T):
+        for m in rx.finditer(text):
+            out.append(("name", m.group(), m.start(), m.end(), 0.75, "offline_rule_name"))
+    return out
+
+# --- planted-PII corpus: EXACT twin of SparkEntry.docsPii / piiCte --------
+def planted(doc_id, text):
+    t = text
+    if doc_id % 3 != 0:
+        t += f" contact u{doc_id}@ex.com"
+    if doc_id % 2 == 0:
+        t += f" call 0{doc_id % 9 + 1}-1234-{doc_id % 9000 + 1000}"
+    if doc_id % 5 < 2:
+        t += f" pay ¥{doc_id % 9 + 1},{doc_id % 1000:03}"
+    if doc_id % 7 < 3:
+        t += f" ref ACC-{doc_id % 90000 + 10000}"
+    return t
+
+rows = duckdb.sql(
+    f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+).fetchall()
+
+# q_scrub_ref expected: (doc_id, scrubbed)
+scrub = [(d, union_replace_ref(planted(d, t))) for d, t in rows]
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in scrub], pa.int64()),
+    "scrubbed": pa.array([r[1] for r in scrub], pa.string()),
+}), f"{OUT}/scrub_ref.parquet")
+
+# q_preview expected: posexploded detectAll hits with exact offsets
+prev = []
+for d, t in rows:
+    for pos, (kind, txt, start, end, conf, reason) in enumerate(detect_all(planted(d, t))):
+        prev.append((d, pos, kind, txt, start, end, math.floor(conf * 100), reason))
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in prev], pa.int64()),
+    "pos": pa.array([r[1] for r in prev], pa.int32()),
+    "kind": pa.array([r[2] for r in prev], pa.string()),
+    "text": pa.array([r[3] for r in prev], pa.string()),
+    "start": pa.array([r[4] for r in prev], pa.int32()),
+    "end": pa.array([r[5] for r in prev], pa.int32()),
+    "conf_centi": pa.array([r[6] for r in prev], pa.int64()),
+    "reason": pa.array([r[7] for r in prev], pa.string()),
+}), f"{OUT}/preview.parquet")
+
+print(f"wrote {OUT}/scrub_ref.parquet ({len(scrub)} rows), "
+      f"{OUT}/preview.parquet ({len(prev)} rows)")
