@@ -554,21 +554,12 @@ object SparkEntry {
         " (PARTITION BY nation ORDER BY cents DESC, c_custkey) AS rk FROM rev)" +
         " WHERE rk <= 3"),
 
-    "q_ner_model" -> {
-      val nerCte = "WITH nd AS (SELECT doc_id, text" +
-        " || CASE WHEN doc_id % 4 = 0 THEN ' 山田太郎' ELSE '' END" +
-        " || CASE WHEN doc_id % 6 = 0 THEN ' Example Corp' ELSE '' END" +
-        " || CASE WHEN doc_id % 5 = 0 THEN ' 東京都' ELSE '' END AS text FROM documents)"
-      val entities = Seq(
-        ("name", "山田太郎"), ("name", "田中 花子"), ("org", "Example Corp"),
-        ("org", "Acme KK"), ("address", "東京都"), ("address", "大阪府"),
-        ("misc", "graft"))
-      val per = entities.map { case (k, e) =>
-        s"SELECT '$k' AS kind, CAST((length(text) - length(replace(text, '$e', ''))) / length('$e') AS BIGINT) AS n FROM nd"
-      }.mkString(" UNION ALL ")
-      nerCte + ", per AS (" + per + ")" +
-        " SELECT kind, CAST(SUM(n) AS BIGINT) AS n FROM per GROUP BY kind HAVING SUM(n) > 0"
-    },
+    // expected counts computed by CPython reading the SAME committed
+    // gazetteer artifact with naive all-occurrence matching — an
+    // independent-implementation check of the Aho-Corasick automaton
+    // (tools/gen_expected.py)
+    "q_ner_model" ->
+      s"SELECT kind, n FROM read_parquet('$GoldenDir/expected_sf0.01/ner_model.parquet')",
 
     "q_window_delta" ->
       ("SELECT event_id, COALESCE(epoch_ms(ts) - lag(epoch_ms(ts)) OVER" +

@@ -35,23 +35,50 @@ object Dedup {
       col(idCol),
       PiiFunctions.minHashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
 
-  /** LSH candidate pairs with estimated Jaccard ≥ threshold.
-    * Output: (a, b, sim) with a < b. */
+  /** LSH near-dup pairs with estimated Jaccard ≥ threshold.
+    * Output: (a, b, sim) with a < b — a SUFFICIENT edge set for union-find
+    * clustering (same connected components as the transitive closure), not
+    * every pair.
+    *
+    * Scale contract — mass duplicates must never reach the band join:
+    * identical texts share every band key, so a page with k exact copies
+    * would make k²/2 candidate pairs in ONE bucket. This operator therefore
+    * exact-collapses first (min-id representative per md5 digest); each
+    * dropped copy emits a linear (rep, copy, 1.0) arc directly and only
+    * DISTINCT texts are banded. As a backstop against pathological floods
+    * of near-identical-but-distinct texts, band buckets over
+    * `maxBandBucket` members are dropped (logged recall tradeoff — at that
+    * population the texts are better served by the exact/simhash tiers). */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.8): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
+                 threshold: Double = 0.8, maxBandBucket: Int = 4096): DataFrame = {
+    val withDigest = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      md5(col(textCol)).as("digest"))
+    val reps = withDigest.groupBy("digest").agg(min("id").as("rep"))
+    val withRep = withDigest.join(reps, "digest")
+    // star arcs for exact copies: rep = min id per digest, so rep < id
+    val dupArcs = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"), lit(1.0).as("sim"))
+
+    val distinctTexts = withRep.where(col("id") === col("rep"))
+      .select(col("id"), col("t"))
+    val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
     val banded = sigs.select(
-      col(idCol).as("id"), col("sig"),
+      col("id"), col("sig"),
       explode(PiiFunctions.bandKeysUdf(col("sig"), lit(bands))).as("band"))
-    val l = banded.select(col("band"), col("id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band"))
+    // bucket-population backstop (map-side partial agg; tiny vs the join)
+    val okBands = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBandBucket).select("band")
+    val kept = banded.join(okBands, Seq("band"), "left_semi")
+    val l = kept.select(col("band"), col("id").as("a"), col("sig").as("sig_a"))
+    val r = kept.select(col("band"), col("id").as("b"), col("sig").as("sig_b"))
+    val lshPairs = l.join(r, Seq("band"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         PiiFunctions.sigSimUdf(col("sig_a"), col("sig_b")).as("sim"))
       .where(col("sim") >= threshold)
       .groupBy(col("a"), col("b")).agg(max("sim").as("sim"))
+    lshPairs.unionByName(dupArcs)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 guaranteed

@@ -16,6 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Security level enum, ported from the reference's 4-level surface
+    * (security_manager.py:17-22): MAXIMUM = fully offline rule-only
+    * processing; ENHANCED = model-assisted path enabled. HIGH and STANDARD
+    * exist for config compatibility and COLLAPSE exactly as the reference's
+    * deprecated_map does (security_manager.py:475-486): HIGH→MAXIMUM,
+    * STANDARD→ENHANCED. The behavioral switch is the reference's
+    * `current_level != MAXIMUM → add NER` (main.py:241-245), realized here
+    * at plan-construction time: the NER column is in the plan only for an
+    * effective ENHANCED level. */
+  sealed abstract class SecurityLevel(val name: String)
+  object SecurityLevel {
+    case object Maximum extends SecurityLevel("maximum")
+    case object High extends SecurityLevel("high")
+    case object Standard extends SecurityLevel("standard")
+    case object Enhanced extends SecurityLevel("enhanced")
+
+    val All: Seq[SecurityLevel] = Seq(Maximum, High, Standard, Enhanced)
+
+    def parse(s: String): SecurityLevel =
+      All.find(_.name == s.toLowerCase)
+        .getOrElse(sys.error(s"unknown security level: $s"))
+
+    /** The reference's deprecated_map collapse. */
+    def collapse(l: SecurityLevel): SecurityLevel = l match {
+      case High => Maximum
+      case Standard => Enhanced
+      case other => other
+    }
+  }
+
   final case class Conf(
       keyB64: String = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ==", // "graft-spark-pii-default-key!"
       ns: String = "tenant-a",
@@ -25,13 +55,18 @@ object Pipeline {
         *          phone/amount/id, app/alias.py semantics);
         * "tags" = fixed <KIND> tokens. */
       scrubMode: String = "dict",
-      /** Security-level analog (reference security_manager.py:475-486 →
-        * SURVEY §1.1): rule-only detection by default; true adds the
-        * broadcast-model NER column. Plan-construction-time gating — when
-        * off, the stage isn't in the plan at all. */
-      modelNer: Boolean = false,
+      /** Security level (see [[SecurityLevel]]): MAXIMUM (default) keeps
+        * the plan rule-only; an effective ENHANCED level adds the
+        * broadcast-model NER column at plan-construction time — when off,
+        * the stage isn't in the plan at all. */
+      security: SecurityLevel = SecurityLevel.Maximum,
       numBuckets: Int = 64,
-      saltBuckets: Int = 8)
+      saltBuckets: Int = 8) {
+    /** Effective level after the reference's deprecated_map collapse. */
+    def effectiveLevel: SecurityLevel = SecurityLevel.collapse(security)
+    /** main.py:241-245: model NER runs iff effective level != MAXIMUM. */
+    def modelNer: Boolean = effectiveLevel != SecurityLevel.Maximum
+  }
 
   /** Adds lang_id/lang_conf, ppl, quality struct, scrub results, keep and
     * drop_reason to the input pages frame. Narrow (no shuffle). */

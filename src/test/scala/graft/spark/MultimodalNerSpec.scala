@@ -65,6 +65,35 @@ class MultimodalNerSpec extends AnyFunSuite {
       merged.filter(_._1 == 3L).forall(_._3.startsWith("offline_rule")))
   }
 
+  test("NER model: 11k+ entry artifact; automaton equals naive scan") {
+    val m = NerSlot.defaultModel
+    assert(m.entries.length >= 10000)
+    val text = "佐藤 健太は東京都中央区の山田商事で働く。連絡は Example Corp まで。graft"
+    val got = m.infer(Seq(text)).head.map(h => (h.kind, h.text, h.start, h.end))
+    // naive per-entry scan as the independent reference
+    val want = m.entries.toVector.flatMap { case (e, label, _) =>
+      Iterator.iterate(text.indexOf(e))(i => text.indexOf(e, i + 1))
+        .takeWhile(_ >= 0)
+        .map(i => (NerSlot.Hf2Pii(label), e, i, i + e.length)).toVector
+    }.sortBy(t => (t._3, t._4, t._1, t._2))
+    assert(got.sortBy(t => (t._3, t._4, t._1, t._2)) == want)
+    assert(got.exists(_._1 == "name") && got.exists(_._1 == "org") &&
+      got.exists(_._1 == "address") && got.exists(_._1 == "misc"))
+  }
+
+  test("NER model: O(text) scan survives a 1MB document") {
+    val m = NerSlot.defaultModel
+    val big = new StringBuilder
+    while (big.length < 1000000) big.append("plain filler text 資料 ですます ")
+    big.append("山田太郎")
+    val t0 = System.nanoTime()
+    val hits = m.infer(Seq(big.toString)).head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(hits.exists(h => h.kind == "name" && h.text == "山田太郎"))
+    // generous bound: naive 11k-entry indexOf scanning would take minutes
+    assert(sec < 20.0, s"1MB doc took $sec s")
+  }
+
   test("NER slot: offsets are exact and batching does not reorder rows") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"doc $i 山田太郎 and 山田太郎 again"))

@@ -113,16 +113,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("modelNer flag gates the NER stage at plan-construction time") {
+  test("security level gates the NER stage at plan-construction time") {
     import spark.implicits._
+    import Pipeline.SecurityLevel._
     val df = Seq(
       ("https://a.example/1", new java.sql.Timestamp(0L), Array.emptyByteArray,
         ("the quick brown fox and 山田太郎 of Example Corp sat by the river " * 3), "en"))
       .toDF("url", "warc_ts", "html", "text", "lang")
-    val off = Pipeline.run(spark, df)
-    assert(!off.columns.contains("model_hits"))
-    val on = Pipeline.run(spark, df, Pipeline.Conf(modelNer = true))
-    assert(on.columns.contains("model_hits"))
+    // per-level plan construction: MAXIMUM rule-only; ENHANCED adds NER;
+    // HIGH/STANDARD collapse per the reference's deprecated_map
+    def cols(l: Pipeline.SecurityLevel) =
+      Pipeline.run(spark, df, Pipeline.Conf(security = l)).columns.toSet
+    assert(!cols(Maximum).contains("model_hits"))
+    assert(!cols(High).contains("model_hits"))       // HIGH → MAXIMUM
+    assert(cols(Standard).contains("model_hits"))    // STANDARD → ENHANCED
+    assert(cols(Enhanced).contains("model_hits"))
+    assert(Pipeline.SecurityLevel.parse("high") == High)
+    assert(Pipeline.SecurityLevel.collapse(High) == Maximum)
+    assert(Pipeline.SecurityLevel.collapse(Standard) == Enhanced)
+
+    val on = Pipeline.run(spark, df, Pipeline.Conf(security = Enhanced))
     val hits = on.select(explode(col("model_hits")).as("h"))
       .select(col("h.kind"), col("h.reason")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet

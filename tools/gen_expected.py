@@ -144,3 +144,37 @@ pq.write_table(pa.table({
 
 print(f"wrote {OUT}/scrub_ref.parquet ({len(scrub)} rows), "
       f"{OUT}/preview.parquet ({len(prev)} rows)")
+
+# --- q_ner_model expected: per-kind hit counts over the planted-NER corpus.
+# Independent-implementation check of the gazetteer model: Python reads the
+# SAME committed artifact and counts ALL occurrences of every entry (the
+# Aho-Corasick all-match semantics) with naive find loops.
+import gzip
+HF2PII = {"PER": "name", "ORG": "org", "LOC": "address", "MISC": "misc"}
+with gzip.open("src/main/resources/graft/ner_gazetteer.tsv.gz", "rt",
+               encoding="utf-8") as f:
+    entries = [(l.split("\t", 2)[0], l.split("\t", 2)[2].rstrip("\n"))
+               for l in f if l.strip()]
+
+def planted_ner(doc_id, text):  # twin of SparkEntry.docsNer
+    t = text
+    if doc_id % 4 == 0: t += " 山田太郎"
+    if doc_id % 6 == 0: t += " Example Corp"
+    if doc_id % 5 == 0: t += " 東京都"
+    return t
+
+counts = {}
+for d, t in rows:
+    text = planted_ner(d, t)
+    for label, e in entries:
+        i = text.find(e)
+        while i >= 0:
+            k = HF2PII.get(label, "misc")
+            counts[k] = counts.get(k, 0) + 1
+            i = text.find(e, i + 1)
+ner_rows = sorted(counts.items())
+pq.write_table(pa.table({
+    "kind": pa.array([k for k, _ in ner_rows], pa.string()),
+    "n": pa.array([n for _, n in ner_rows], pa.int64()),
+}), f"{OUT}/ner_model.parquet")
+print(f"wrote {OUT}/ner_model.parquet ({ner_rows})")
