@@ -73,7 +73,11 @@ object Bench {
     val s = session(p)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def job(): Unit = materialize(Pipeline.run(s, s.read.parquet(pagesPath)))
+    // SPARK_GRAFT_NATIVE=0 A/Bs the broadcast-UDF stage path vs the default
+    // native page_stages expression
+    val conf = Pipeline.Conf(
+      nativeStages = sys.env.get("SPARK_GRAFT_NATIVE").forall(_ != "0"))
+    def job(): Unit = materialize(Pipeline.run(s, s.read.parquet(pagesPath), conf))
     job() // JIT warm-up pass, untimed
     var best = Double.MaxValue
     var bestUtil = 0.0

@@ -55,6 +55,11 @@ object Pipeline {
         *          phone/amount/id, app/alias.py semantics);
         * "tags" = fixed <KIND> tokens. */
       scrubMode: String = "dict",
+      /** true (default): the fused per-page stage runs as the native
+        * [[graft.spark.expressions.PageStagesExpr]] — no ScalaUDF shim, no
+        * encoder round-trip. false: the broadcast-model UDF path (needed
+        * when models are loaded from files rather than built from code). */
+      nativeStages: Boolean = true,
       /** Security level (see [[SecurityLevel]]): MAXIMUM (default) keeps
         * the plan rule-only; an effective ENHANCED level adds the
         * broadcast-model NER column at plan-construction time — when off,
@@ -71,13 +76,22 @@ object Pipeline {
   /** Adds lang_id/lang_conf, ppl, quality struct, scrub results, keep and
     * drop_reason to the input pages frame. Narrow (no shuffle). */
   def run(spark: SparkSession, pages: DataFrame, conf: Conf = Conf()): DataFrame = {
-    val bLang = spark.sparkContext.broadcast(LangId.default)
-    val bPpl = spark.sparkContext.broadcast(Perplexity.default)
     val qc = conf.quality
 
+    val stagesCol: Column =
+      if (conf.nativeStages) {
+        graft.spark.expressions.GraftExtensions.install(spark)
+        call_function("page_stages", col("text"),
+          lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns))
+      } else {
+        val bLang = spark.sparkContext.broadcast(LangId.default)
+        val bPpl = spark.sparkContext.broadcast(Perplexity.default)
+        PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
+          conf.keyB64, conf.ns)(col("text"))
+      }
+
     val withStages = pages
-      .withColumn("r", PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
-        conf.keyB64, conf.ns)(col("text")))
+      .withColumn("r", stagesCol)
       .withColumn("lang_guess", struct(col("r.lang_id").as("lang"), col("r.lang_conf").as("conf")))
       .withColumn("ppl", col("r.ppl"))
       .withColumn("q", col("r.q"))

@@ -1,12 +1,15 @@
 package graft.spark.expressions
 
-import graft.core.{Scrub, TextDedup}
+import graft.core.{LangId, Perplexity, Quality, RefAlias, Scrub, TextDedup}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot text operators.
@@ -26,6 +29,113 @@ object ExprHelpers {
     UTF8String.fromString(Scrub.scrubTags(s.toString))
   def fingerprint64(s: UTF8String): Long = TextDedup.fingerprint(s.toString)
   def simhash64(s: UTF8String): Long = TextDedup.simHash(s.toString)
+
+  private def strMap(m: collection.Map[String, String]): ArrayBasedMapData = {
+    val k = new Array[Any](m.size)
+    val v = new Array[Any](m.size)
+    var i = 0
+    m.foreach { case (a, b) =>
+      k(i) = UTF8String.fromString(a); v(i) = UTF8String.fromString(b); i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+  }
+
+  private def longMap(m: collection.Map[String, Long]): ArrayBasedMapData = {
+    val k = new Array[Any](m.size)
+    val v = new Array[Any](m.size)
+    var i = 0
+    m.foreach { case (a, b) => k(i) = UTF8String.fromString(a); v(i) = b; i += 1 }
+    new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+  }
+
+  /** The fused per-page hot path as a direct InternalRow producer: same
+    * core stages as [[graft.spark.PiiFunctions.pageStagesUdf]], minus the
+    * ScalaUDF shim and the ExpressionEncoder round-trip (case class →
+    * reflection converters → InternalRow). Models are the deterministic
+    * JVM-lazy defaults — built once per executor from code, which is the
+    * broadcast-equivalent for in-code models (a file-loaded model must use
+    * the broadcast UDF variant instead). */
+  def pageStages(text: UTF8String, mode: String, keyB64: String,
+                 ns: String): InternalRow = {
+    val t = if (text == null) "" else text.toString
+    val (l, c) = LangId.default.classify(t)
+    val p = Perplexity.default.perplexity(t)
+    val m = Quality.metrics(t)
+    val d = mode match {
+      case "dict" => Scrub.scrubDict(t)
+      case "tags" =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        val s = Scrub.scrub(t, Scrub.FullOrder, { (k, _) =>
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          "<" + k.toUpperCase + ">"
+        })
+        Scrub.DictResult(s, Map.empty, counts.toMap)
+      case "ref" =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        val dict = scala.collection.mutable.Map.empty[String, String]
+        val s = Scrub.scrub(t, Scrub.ReferenceOrder, { (k, orig) =>
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
+        })
+        Scrub.DictResult(s, dict.toMap, counts.toMap)
+      case other => sys.error(s"unknown scrub mode: $other")
+    }
+    val q = new GenericInternalRow(Array[Any](
+      m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
+      m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(l), c, p, q,
+      UTF8String.fromString(d.scrubbed), strMap(d.aliases), longMap(d.counts)))
+  }
+}
+
+/** `page_stages(text, mode, key_b64, ns)` — the whole fused pipeline stage
+  * (langid + perplexity + quality metrics + scrub) as ONE native expression
+  * emitting the result struct directly as an InternalRow. */
+case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
+                          ns: String) extends UnaryExpression {
+  override def dataType: DataType = PageStagesExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"page_stages requires a string argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.pageStages(input.asInstanceOf[UTF8String], mode, keyB64, ns)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modeRef = ctx.addReferenceObj("mode", mode, "java.lang.String")
+    val keyRef = ctx.addReferenceObj("keyB64", keyB64, "java.lang.String")
+    val nsRef = ctx.addReferenceObj("ns", ns, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.expressions.ExprHelpers.pageStages($c, $modeRef, $keyRef, $nsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PageStagesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "page_stages"
+}
+
+object PageStagesExpr {
+  /** Must mirror PiiFunctions.PageStages / Quality.Metrics field-for-field —
+    * Pipeline.run selects subfields by these names. */
+  val qualitySchema: StructType = StructType(Seq(
+    StructField("nChars", LongType, nullable = false),
+    StructField("nWords", LongType, nullable = false),
+    StructField("meanWordLen", DoubleType, nullable = false),
+    StructField("stopwordRatio", DoubleType, nullable = false),
+    StructField("symbolRatio", DoubleType, nullable = false),
+    StructField("dupLineFrac", DoubleType, nullable = false),
+    StructField("dupWordFrac", DoubleType, nullable = false),
+    StructField("alphaWordRatio", DoubleType, nullable = false),
+    StructField("maxWordLen", LongType, nullable = false),
+    StructField("cjkRatio", DoubleType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("lang_id", StringType, nullable = false),
+    StructField("lang_conf", DoubleType, nullable = false),
+    StructField("ppl", DoubleType, nullable = false),
+    StructField("q", qualitySchema, nullable = false),
+    StructField("scrubbed", StringType, nullable = false),
+    StructField("aliases", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("counts", MapType(StringType, LongType, valueContainsNull = false), nullable = false)))
 }
 
 abstract class GraftUnaryStringExpression extends UnaryExpression
@@ -96,7 +206,11 @@ object GraftExtensions {
     ("fingerprint64", info("fingerprint64", "_FUNC_(text) - normalized doc fingerprint"),
       (args: Seq[Expression]) => Fingerprint64Expr(args.head)),
     ("simhash64", info("simhash64", "_FUNC_(text) - 64-bit simhash"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+      (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("page_stages", info("page_stages",
+      "_FUNC_(text, mode, key_b64, ns) - fused langid+perplexity+quality+scrub struct"),
+      (args: Seq[Expression]) => PageStagesExpr(args.head,
+        args(1).eval().toString, args(2).eval().toString, args(3).eval().toString)))
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -51,6 +51,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(udfPlan.contains("UDF"), udfPlan)
   }
 
+  test("page_stages expression == broadcast-UDF pipeline row-for-row") {
+    val pages = DataGen.pages(spark, 400, partitions = 4).toDF()
+    def proj(nat: Boolean) =
+      Pipeline.run(spark, pages, Pipeline.Conf(scrubMode = "ref", nativeStages = nat))
+        .select("url", "lang_id", "lang_conf", "ppl", "keep", "drop_reason",
+          "scrubbed_text")
+        .collect().map(r => r.toSeq).sortBy(_.head.toString)
+    assert(proj(nat = true).toSeq == proj(nat = false).toSeq)
+    // dict mode too (aliases/counts maps)
+    def maps(nat: Boolean) =
+      Pipeline.run(spark, pages, Pipeline.Conf(nativeStages = nat))
+        .select(col("url"), col("alias_dict"), col("n_hits"))
+        .collect().map(r => (r.getString(0),
+          r.getMap[String, String](1).toMap, r.getMap[String, Long](2).toMap))
+        .sortBy(_._1)
+    assert(maps(nat = true).toSeq == maps(nat = false).toSeq)
+  }
+
+  test("page_stages stays inside whole-stage codegen over a parquet scan") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = base.selectExpr(
+      "page_stages(text, 'dict', '', '') AS r").select("r.lang_id", "r.q.nWords")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("UDF"), plan)
+    assert(df.collect().length == 500)
+  }
+
   test("null handling: expression yields null on null input") {
     import spark.implicits._
     val got = Seq[(java.lang.Long, String)]((1L, null), (2L, "a@b.cc x"))
