@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // batch-throughput GC: the pipeline is allocation-heavy at 32 threads and
   // G1's pause-target pacing costs ~20% wall at full parallelism
   "-XX:+UseParallelGC",
-)
+) ++ sys.env.get("SPARK_GRAFT_YOUNG").map(y => s"-Xmn$y").toSeq

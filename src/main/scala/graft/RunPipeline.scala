@@ -27,8 +27,19 @@ object RunPipeline {
     val builder = SparkSession.builder().appName("graft-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's 64MB advisory target would coalesce the post-shuffle score+
+      // write stage below the core count (8 tasks on a 500MB shuffle),
+      // serializing parquet encode — keep one task per (bucket,salt) wave
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+      // parquet encode is a large slice of sink wall time; codec is an
+      // explicit knob (snappy default; lz4_raw measurably faster here)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
     sys.env.get("SPARK_GRAFT_CPUS").foreach { c =>
-      builder.master(s"local[$c]").config("spark.sql.shuffle.partitions", c)
+      builder.master(s"local[$c]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", c))
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
     }
@@ -36,6 +47,9 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     val conf = Pipeline.Conf(scrubMode = scrubMode)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpu0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     // shuffle raw pages by (bucket, salt), THEN score (narrow) — the shuffle
     // moves ~2× fewer bytes than shuffling the scored output
@@ -44,10 +58,11 @@ object RunPipeline {
       inputSnapshot,
       scoreAfterShuffle = df => Pipeline.withBucket(Pipeline.run(spark, df, conf), conf))
     val sec = (System.nanoTime() - t0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     println(
       s"""{"snapshot":"${report.snapshotId}","rows":${report.rows},""" +
         s""""keep_rows":${report.keepRows},"buckets_written":${report.bucketsWritten.size},""" +
-        s""""buckets_skipped":${report.bucketsSkipped.size},"sec":$sec,""" +
+        s""""buckets_skipped":${report.bucketsSkipped.size},"sec":$sec,"cpu_sec":$cpuSec,""" +
         s""""docs_per_sec":${if (report.bucketsWritten.nonEmpty) report.rows / sec else 0.0}}""")
     spark.stop()
   }

