@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.util
 
 /** Physical-plan shape assertions — the scale story in executable form:
   * column pruning reaches the scan, predicates push into parquet, the small
@@ -47,5 +48,48 @@ class PlanSpec extends AnyFunSuite {
     val df = Pipeline.run(spark,
       spark.read.parquet(pagesPath).where(col("lang") =!= "und"))
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // Zipf-hot host key: 75% of rows share key 0 — one reducer partition
+      // would take ~75% of the join without AQE's runtime split
+      val pad = "x" * 64
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 150000, 0L).otherwise(pmod(col("id"), lit(100)) + 1).as("k"),
+        concat(lit(pad), col("id").cast("string")).as("v"))
+      val right = (0L to 100L).map(k => (k, s"dim-$k")).toDF("k", "d")
+      // global aggregate on purpose: a groupBy(k) above the join would
+      // REQUIRE hashpartitioning(k) and AQE then declines to split the
+      // skewed partitions (it won't add a recovery shuffle unless forced);
+      // sum/count have no distribution requirement, so the split is legal.
+      // length(v) keeps the payload column alive through the join shuffle.
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("v"))).as("bytes"))
+      val rows = j.collect()
+      assert(rows.head.getLong(0) == 200000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not flag the skewed join:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
