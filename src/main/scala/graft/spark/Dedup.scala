@@ -52,16 +52,21 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8, maxBandBucket: Int = 4096): DataFrame = {
-    val withDigest = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      md5(col(textCol)).as("digest"))
-    val reps = withDigest.groupBy("digest").agg(min("id").as("rep"))
-    val withRep = withDigest.join(reps, "digest")
+    // Exact-collapse with MAP-SIDE combine: groupBy(digest) keeps one text
+    // per digest already in the mapper's partial aggregate, so duplicate
+    // text bytes never enter the shuffle (first() over same-digest rows is
+    // deterministic — identical digest ⇒ identical text). The id→rep join
+    // then moves only (id, digest) pairs, never text.
+    val withDigest = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val reps = df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"))
     // star arcs for exact copies: rep = min id per digest, so rep < id
-    val dupArcs = withRep.where(col("id") =!= col("rep"))
+    val dupArcs = withDigest
+      .join(reps.select(col("digest"), col("rep")), "digest")
+      .where(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"), lit(1.0).as("sim"))
 
-    val distinctTexts = withRep.where(col("id") === col("rep"))
-      .select(col("id"), col("t"))
+    val distinctTexts = reps.select(col("rep").as("id"), col("t"))
     val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
     val banded = sigs.select(
       col("id"), col("sig"),

@@ -76,6 +76,49 @@ object IcebergishSink {
     override def value: java.util.HashMap[Integer, Array[Long]] = m
   }
 
+  final case class SnapshotInfo(
+      snapshotId: String,
+      inputSnapshot: String,
+      ruleVersion: String,
+      buckets: Seq[Int],
+      rows: Long,
+      keepRows: Long,
+      createdMs: Long)
+
+  /** All snapshot manifests under `out`, oldest first. */
+  def listSnapshots(out: String): Seq[SnapshotInfo] = {
+    val dir = Paths.get(out, "_snapshots")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      .map { p =>
+        val n = mapper.readTree(Files.readString(p))
+        val buckets = (0 until n.get("buckets").size()).map(i =>
+          n.get("buckets").get(i).asText.stripPrefix("part_bucket=").toInt)
+        SnapshotInfo(n.get("snapshot_id").asText, n.get("input_snapshot").asText,
+          n.get("rule_version").asText, buckets, n.get("rows").asLong,
+          n.get("keep_rows").asLong, n.get("created_ms").asLong)
+      }.sortBy(_.createdMs)
+  }
+
+  /** Snapshot read (time-travel-lite): buckets are immutable once
+    * committed, so a snapshot's view is exactly its bucket list — the
+    * filter prunes whole `part_bucket=` directories at planning time.
+    * Default: the latest snapshot. */
+  def readSnapshot(spark: SparkSession, out: String,
+                   snapshotId: Option[String] = None): DataFrame = {
+    val snaps = listSnapshots(out)
+    require(snaps.nonEmpty, s"no snapshots under $out")
+    val snap = snapshotId match {
+      case Some(id) => snaps.find(_.snapshotId == id)
+        .getOrElse(sys.error(s"unknown snapshot $id"))
+      case None => snaps.last
+    }
+    spark.read.parquet(dataDir(out).toString)
+      .where(col("part_bucket").isin(snap.buckets.map(Integer.valueOf): _*))
+  }
+
   /** Buckets already committed (ledger entry present). */
   def completedBuckets(out: String): Set[Int] = {
     val dir = ledgerDir(out)

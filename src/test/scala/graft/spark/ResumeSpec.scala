@@ -70,6 +70,23 @@ class ResumeSpec extends AnyFunSuite {
     assert(snaps.nonEmpty)
   }
 
+  test("snapshot manifests are listable and readable (time-travel-lite)") {
+    val dir = Files.createTempDirectory("graft-sink-snap").toString
+    val rep = IcebergishSink.writeResumable(spark, scored, dir, conf, "snap-a")
+    val again = IcebergishSink.writeResumable(spark, scored, dir, conf, "snap-a")
+    val snaps = IcebergishSink.listSnapshots(dir)
+    assert(snaps.size == 2)
+    assert(snaps.map(_.snapshotId).contains(rep.snapshotId))
+    assert(snaps.forall(_.buckets.sorted == (0 until 16)))
+    assert(snaps.forall(_.rows == 800))
+    // read by explicit id and by latest — both see all committed rows,
+    // and the bucket filter prunes at planning time
+    val byId = IcebergishSink.readSnapshot(spark, dir, Some(rep.snapshotId))
+    val latest = IcebergishSink.readSnapshot(spark, dir)
+    assert(byId.count() == 800 && latest.count() == 800)
+    assert(again.bucketsWritten.isEmpty)
+  }
+
   test("second full run over a committed table is a no-op") {
     val dir = Files.createTempDirectory("graft-sink-noop").toString
     IcebergishSink.writeResumable(spark, scored, dir, conf, "s")
