@@ -186,6 +186,25 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exact(docsDedup(s, dir), "doc_id", "text")),
 
+    // C4-style corpus-level line dedup: a line (>=10 chars) survives only
+    // at its first (doc_id, line_no) occurrence
+    "q_line_dedup" -> ((s, dir) =>
+      graft.spark.WebOps.dedupLinesAcrossCorpus(docsDedup(s, dir), "doc_id", "text")),
+
+    // UT1-style domain blocklist with parent-domain (subdomain) matching,
+    // urls synthesized from doc_id so the oracle is pure arithmetic
+    "q_url_filter" -> ((s, dir) => {
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 11 === 0, lit("ads.")).otherwise(lit("")),
+          lit("h"), (col("doc_id") % 50).cast("string"),
+          lit(".example.test/p/"), col("doc_id").cast("string")).as("url"))
+      val bl = s.sparkContext.broadcast(
+        Set("h3.example.test", "h17.example.test", "ads.h22.example.test"))
+      graft.spark.WebOps.filterBlocked(urls, "url", bl)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     "q_dup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsDedup(s, dir), "doc_id", "text",
         shingleK = 3, minSimMilli = 500)),
@@ -474,6 +493,23 @@ object SparkEntry {
 
     "q_exact_dedup" -> (dedupCte +
       " SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies FROM ddocs GROUP BY md5(text)"),
+
+    // first occurrence = min lexicographic (doc_id, line_no), encoded
+    // numerically (line_no < 100000); short lines (<10 chars) never dedup
+    "q_line_dedup" -> (dedupCte +
+      ", l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line," +
+      " UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM ddocs)" +
+      ", f AS (SELECT md5(line) AS h, min(doc_id * 100000 + line_no) AS k" +
+      " FROM l WHERE length(line) >= 10 GROUP BY 1)" +
+      " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text" +
+      " FROM l LEFT JOIN f ON length(line) >= 10 AND md5(line) = f.h" +
+      " WHERE f.h IS NULL OR doc_id * 100000 + line_no = f.k GROUP BY doc_id"),
+
+    // blocked iff host in {h3,h17}.example.test (any subdomain, via the
+    // parent-domain walk) or the exact ads.h22.example.test host
+    "q_url_filter" ->
+      ("SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents" +
+        " WHERE NOT (doc_id % 50 IN (3, 17) OR (doc_id % 11 = 0 AND doc_id % 50 = 22))"),
 
     "q_dup_jaccard" -> (dedupCte +
       ", toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM ddocs)" +

@@ -1,0 +1,76 @@
+package graft.spark
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus operators a Common-Crawl training pipeline needs beyond the
+  * reference's per-document semantics: corpus-level line dedup (C4's
+  * "discard repeated spans" rule, line granularity) and domain-blocklist
+  * filtering (UT1-style).
+  */
+object WebOps {
+
+  /** C4-style line dedup ACROSS the corpus: a line survives only at its
+    * first occurrence (ordered by (doc id, line position)); later copies
+    * are dropped from their documents. Lines shorter than `minLen` chars
+    * are never deduped (boilerplate blanks/short headers would otherwise
+    * vanish corpus-wide).
+    *
+    * Scale shape: lines are exploded and grouped by md5(line) — the
+    * shuffle carries (digest, doc_id, line_no), with the map-side partial
+    * `min` collapsing a boilerplate line repeated across millions of pages
+    * to one candidate per mapper, so a viral footer cannot hot-key a
+    * reducer. The survivor join is an equi-join on the digest. Same
+    * skew-safe groupBy+join pattern as [[Pipeline.runDeduped]] — a window
+    * over the digest would funnel every copy of a hot line through one
+    * task. Document reassembly is an ordered collect_list per doc.
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+                             minLen: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val eligible = length(col("line")) >= minLen
+    val withH = lines.withColumn("h",
+      when(eligible, md5(col("line"))).otherwise(lit(null)))
+    val firsts = withH.where(col("h").isNotNull)
+      .groupBy("h")
+      .agg(min(struct(col(idCol).as("id"), col("line_no").as("ln"))).as("first"))
+    withH.join(firsts, Seq("h"), "left")
+      .where(col("h").isNull ||
+        (col("first.id") === col(idCol) && col("first.ln") === col("line_no")))
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line"))).as(textCol))
+  }
+
+  /** Host of a url (scheme-independent). */
+  def hostOf(url: Column): Column = Pipeline.hostCol(url)
+
+  /** Domain-blocklist predicate: true iff the url's host or ANY parent
+    * domain is in the broadcast blocklist (so `ads.example.com` is blocked
+    * by an `example.com` entry). A UT1-scale list (millions of domains)
+    * stays a broadcast hash set — a join would shuffle the corpus by host.
+    */
+  def blockedUdf(list: Broadcast[Set[String]]) =
+    org.apache.spark.sql.functions.udf { (host: String) =>
+      if (host == null) false
+      else {
+        var h = host
+        var blocked = list.value.contains(h)
+        var dot = h.indexOf('.')
+        while (!blocked && dot >= 0) {
+          h = h.substring(dot + 1)
+          blocked = list.value.contains(h)
+          dot = h.indexOf('.')
+        }
+        blocked
+      }
+    }
+
+  /** Rows whose url does NOT hit the blocklist. */
+  def filterBlocked(df: DataFrame, urlCol: String,
+                    list: Broadcast[Set[String]]): DataFrame =
+    df.where(!blockedUdf(list)(hostOf(col(urlCol))))
+}

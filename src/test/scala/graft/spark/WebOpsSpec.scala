@@ -1,0 +1,58 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  test("corpus line dedup keeps first occurrence only, short lines exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique first line here\nshared boilerplate footer line\nok"),
+      (2L, "another unique opening\nshared boilerplate footer line\nok"),
+      (3L, "shared boilerplate footer line\nthird doc body text here"))
+      .toDF("doc_id", "text")
+    val out = WebOps.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // footer survives only in doc 1 (first occurrence by (doc_id, line_no))
+    assert(out(1L) == "unique first line here\nshared boilerplate footer line\nok")
+    assert(out(2L) == "another unique opening\nok") // footer dropped, "ok" (<10) kept
+    assert(out(3L) == "third doc body text here")
+  }
+
+  test("line dedup is deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 500L)
+      .map(i => (i, s"body line for doc $i\ncommon repeated footer text\nx"))
+      .toDF("doc_id", "text")
+    val a = WebOps.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = WebOps.dedupLinesAcrossCorpus(docs.repartition(13), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // footer only in doc 0
+    assert(a.count(_._2.contains("common repeated footer")) == 1)
+    assert(a.find(_._1 == 0L).get._2.contains("common repeated footer"))
+  }
+
+  test("blocklist matches exact hosts and parent domains, not lookalikes") {
+    import spark.implicits._
+    val bl = spark.sparkContext.broadcast(Set("bad.example", "ads.ok.example"))
+    val urls = Seq(
+      "https://bad.example/x",        // exact
+      "https://sub.bad.example/x",    // subdomain of listed parent
+      "https://deep.sub.bad.example/x",
+      "https://ads.ok.example/x",     // exact leaf entry
+      "https://ok.example/x",         // parent of a listed leaf — NOT blocked
+      "https://notbad.example/x",     // lookalike suffix string — NOT blocked
+      "https://good.example/x"
+    ).map(Tuple1(_)).toDF("url")
+    val kept = WebOps.filterBlocked(urls, "url", bl)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://ok.example/x", "https://notbad.example/x",
+      "https://good.example/x"))
+  }
+}
