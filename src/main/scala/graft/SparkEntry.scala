@@ -421,6 +421,14 @@ object SparkEntry {
           .as("ppl_centi"))
     }),
 
+    // CCNet-style: each doc scored by the LM of its claimed language
+    "q_ppl_lang" -> ((s, dir) => {
+      val b = s.sparkContext.broadcast(graft.core.Perplexity.bank)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        floor(PiiFunctions.perplexityLangUdf(b)(col("lang"), col("text")) * 100)
+          .cast("long").as("ppl_centi"))
+    }),
+
     "q_scrub_ref" -> ((s, dir) =>
       docsPii(s, dir).select(col("doc_id"),
         PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
@@ -666,6 +674,7 @@ object SparkEntry {
     // drift — it is a regression check, not an independent derivation.
     "q_langid" -> pinSql("q_langid"),
     "q_ppl" -> pinSql("q_ppl"),
+    "q_ppl_lang" -> pinSql("q_ppl_lang"),
     "q_pipeline" -> pinSql("q_pipeline"),
     "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
     "q_dup_minhash" -> pinSql("q_dup_minhash"),

@@ -112,4 +112,47 @@ object Perplexity {
       "numbers like 12345 and 2024 appear in normal text without breaking it ") * 2
 
   lazy val default: PerplexityModel = train(seedCorpus)
+
+  // CCNet-style per-language banks: production web pipelines score each
+  // document with the LM of ITS language (one KenLM per lang in CCNet);
+  // a single English LM over-penalizes clean es/de/fr prose. CJK languages
+  // are not modeled — the byte-class alphabet collapses CJK to OtherSym,
+  // so those docs keep the cjk-gated heuristic path instead.
+  private val seedEs: String =
+    ("el zorro marron salta sobre el perro perezoso cerca de la orilla del rio " +
+      "la mayoria de los lectores revisan la primera pagina y luego siguen con su trabajo " +
+      "nuestro equipo de soporte responde preguntas sobre pedidos cada dia " +
+      "la biblioteca abre a las nueve de la manana y cierra a las ocho de la tarde " +
+      "los ninos juegan en el parque mientras sus padres conversan en los bancos " +
+      "el informe muestra que la empresa planea abrir tres oficinas nuevas " +
+      "el agua baja por el rio pasa el puente viejo y llega hasta el ancho mar " +
+      "cada ano miles de estudiantes aprenden a escribir frases claras y simples ") * 2
+
+  private val seedDe: String =
+    ("der braune fuchs springt uber den faulen hund am ufer des flusses " +
+      "die meisten leser lesen die erste seite und wenden sich dann anderer arbeit zu " +
+      "unser team beantwortet fragen zu bestellungen innerhalb eines tages " +
+      "die bibliothek offnet um neun uhr morgens und schliesst um acht uhr abends " +
+      "die kinder spielen im park wahrend die eltern auf den banken sprechen " +
+      "der bericht zeigt dass das unternehmen drei neue buros eroffnen will " +
+      "das wasser fliesst den fluss hinab an der alten brucke vorbei ins weite meer " +
+      "jedes jahr lernen tausende studenten klare und einfache satze zu schreiben ") * 2
+
+  private val seedFr: String =
+    ("le renard brun saute par dessus le chien paresseux pres de la riviere " +
+      "la plupart des lecteurs lisent la premiere page puis passent a autre chose " +
+      "notre equipe repond aux questions sur les commandes chaque jour " +
+      "la bibliotheque ouvre a neuf heures du matin et ferme a huit heures du soir " +
+      "les enfants jouent dans le parc pendant que les parents parlent sur les bancs " +
+      "le rapport montre que la societe prevoit d ouvrir trois nouveaux bureaux " +
+      "l eau descend la riviere passe le vieux pont et rejoint la vaste mer " +
+      "chaque annee des milliers d etudiants apprennent a ecrire des phrases claires ") * 2
+
+  /** Per-language models; unknown langs fall back to [[default]] (en). */
+  lazy val bank: Map[String, PerplexityModel] = Map(
+    "en" -> default, "es" -> train(seedEs), "de" -> train(seedDe),
+    "fr" -> train(seedFr))
+
+  def forLang(lang: String): PerplexityModel =
+    bank.getOrElse(lang, default)
 }

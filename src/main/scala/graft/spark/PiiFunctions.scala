@@ -67,17 +67,25 @@ object PiiFunctions {
 
   def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel],
                     scrubMode: String = "dict", keyB64: String = "",
-                    ns: String = "") =
+                    ns: String = "", policiesCsv: String = "") = {
+    // reference per-request `policies` (app/main.py:379): restrict the
+    // pattern unions to those aliasing as an enabled kind; empty = all
+    def withPolicy(names: Seq[String]): Seq[String] =
+      if (policiesCsv.isEmpty) names
+      else {
+        val set = policiesCsv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        names.filter(n => set.contains(Scrub.kindOf(n)))
+      }
     udf { (text: String) =>
       val t = if (text == null) "" else text
       val (l, c) = lang.value.classify(t)
       val p = ppl.value.perplexity(t)
       val m = Quality.metrics(t)
       val d = scrubMode match {
-        case "dict" => Scrub.scrubDict(t)
+        case "dict" => Scrub.scrubDict(t, withPolicy(Scrub.FullOrder))
         case "tags" =>
           val counts = scala.collection.mutable.Map.empty[String, Long]
-          val s = Scrub.scrub(t, Scrub.FullOrder, { (k, _) =>
+          val s = Scrub.scrub(t, withPolicy(Scrub.FullOrder), { (k, _) =>
             counts.update(k, counts.getOrElse(k, 0L) + 1L)
             "<" + k.toUpperCase + ">"
           })
@@ -85,7 +93,7 @@ object PiiFunctions {
         case "ref" => // reference HMAC aliases over the reference union
           val counts = scala.collection.mutable.Map.empty[String, Long]
           val dict = scala.collection.mutable.Map.empty[String, String]
-          val s = Scrub.scrub(t, Scrub.ReferenceOrder, { (k, orig) =>
+          val s = Scrub.scrub(t, withPolicy(Scrub.ReferenceOrder), { (k, orig) =>
             counts.update(k, counts.getOrElse(k, 0L) + 1L)
             dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
           })
@@ -94,6 +102,7 @@ object PiiFunctions {
       }
       PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts)
     }
+  }
 
   /** Language ID with an explicitly broadcast model. */
   def langIdUdf(model: Broadcast[LangIdModel]) =
@@ -106,6 +115,15 @@ object PiiFunctions {
   def perplexityUdf(model: Broadcast[PerplexityModel]) =
     udf((text: String) =>
       if (text == null) Perplexity.MaxPpl else model.value.perplexity(text))
+
+  /** CCNet-style per-language perplexity: each doc scored by the LM of its
+    * language (broadcast bank of models, en fallback). */
+  def perplexityLangUdf(bank: Broadcast[Map[String, PerplexityModel]]) =
+    udf { (lang: String, text: String) =>
+      if (text == null) Perplexity.MaxPpl
+      else bank.value.getOrElse(if (lang == null) "en" else lang,
+        bank.value("en")).perplexity(text)
+    }
 
   val qualityUdf = udf((text: String) =>
     if (text == null) Quality.metrics("") else Quality.metrics(text))

@@ -55,6 +55,9 @@ object Pipeline {
         *          phone/amount/id, app/alias.py semantics);
         * "tags" = fixed <KIND> tokens. */
       scrubMode: String = "dict",
+      /** Reference per-request `policies` (app/main.py:379): hit kinds to
+        * scrub (email/phone/amount/id/name/address). Empty = all. */
+      policies: Set[String] = Set.empty,
       /** true (default): the fused per-page stage runs as the native
         * [[graft.spark.expressions.PageStagesExpr]] — no ScalaUDF shim, no
         * encoder round-trip. false: the broadcast-model UDF path (needed
@@ -78,16 +81,17 @@ object Pipeline {
   def run(spark: SparkSession, pages: DataFrame, conf: Conf = Conf()): DataFrame = {
     val qc = conf.quality
 
+    val policiesCsv = conf.policies.toSeq.sorted.mkString(",")
     val stagesCol: Column =
       if (conf.nativeStages) {
         graft.spark.expressions.GraftExtensions.install(spark)
         call_function("page_stages", col("text"),
-          lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns))
+          lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns), lit(policiesCsv))
       } else {
         val bLang = spark.sparkContext.broadcast(LangId.default)
         val bPpl = spark.sparkContext.broadcast(Perplexity.default)
         PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
-          conf.keyB64, conf.ns)(col("text"))
+          conf.keyB64, conf.ns, policiesCsv)(col("text"))
       }
 
     val withStages = pages

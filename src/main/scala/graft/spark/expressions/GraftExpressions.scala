@@ -56,16 +56,30 @@ object ExprHelpers {
     * broadcast-equivalent for in-code models (a file-loaded model must use
     * the broadcast UDF variant instead). */
   def pageStages(text: UTF8String, mode: String, keyB64: String,
-                 ns: String): InternalRow = {
+                 ns: String): InternalRow =
+    pageStages(text, mode, keyB64, ns, "")
+
+  /** `policiesCsv`: comma-separated hit KINDS to scrub (the reference's
+    * per-request `policies` form field, app/main.py:379); empty = all.
+    * Pattern lists are filtered by the kind each pattern aliases as
+    * (postal → address, the three name patterns → name). */
+  def pageStages(text: UTF8String, mode: String, keyB64: String,
+                 ns: String, policiesCsv: String): InternalRow = {
     val t = if (text == null) "" else text.toString
     val (l, c) = LangId.default.classify(t)
     val p = Perplexity.default.perplexity(t)
     val m = Quality.metrics(t)
+    def withPolicy(names: Seq[String]): Seq[String] =
+      if (policiesCsv.isEmpty) names
+      else {
+        val set = policiesCsv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        names.filter(n => set.contains(Scrub.kindOf(n)))
+      }
     val d = mode match {
-      case "dict" => Scrub.scrubDict(t)
+      case "dict" => Scrub.scrubDict(t, withPolicy(Scrub.FullOrder))
       case "tags" =>
         val counts = scala.collection.mutable.Map.empty[String, Long]
-        val s = Scrub.scrub(t, Scrub.FullOrder, { (k, _) =>
+        val s = Scrub.scrub(t, withPolicy(Scrub.FullOrder), { (k, _) =>
           counts.update(k, counts.getOrElse(k, 0L) + 1L)
           "<" + k.toUpperCase + ">"
         })
@@ -73,7 +87,7 @@ object ExprHelpers {
       case "ref" =>
         val counts = scala.collection.mutable.Map.empty[String, Long]
         val dict = scala.collection.mutable.Map.empty[String, String]
-        val s = Scrub.scrub(t, Scrub.ReferenceOrder, { (k, orig) =>
+        val s = Scrub.scrub(t, withPolicy(Scrub.ReferenceOrder), { (k, orig) =>
           counts.update(k, counts.getOrElse(k, 0L) + 1L)
           dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
         })
@@ -89,24 +103,27 @@ object ExprHelpers {
   }
 }
 
-/** `page_stages(text, mode, key_b64, ns)` — the whole fused pipeline stage
-  * (langid + perplexity + quality metrics + scrub) as ONE native expression
-  * emitting the result struct directly as an InternalRow. */
+/** `page_stages(text, mode, key_b64, ns[, policies_csv])` — the whole fused
+  * pipeline stage (langid + perplexity + quality metrics + scrub) as ONE
+  * native expression emitting the result struct directly as an InternalRow. */
 case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
-                          ns: String) extends UnaryExpression {
+                          ns: String, policiesCsv: String = "")
+    extends UnaryExpression {
   override def dataType: DataType = PageStagesExpr.schema
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"page_stages requires a string argument, got ${child.dataType.catalogString}")
   override def nullSafeEval(input: Any): Any =
-    ExprHelpers.pageStages(input.asInstanceOf[UTF8String], mode, keyB64, ns)
+    ExprHelpers.pageStages(input.asInstanceOf[UTF8String], mode, keyB64, ns,
+      policiesCsv)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val modeRef = ctx.addReferenceObj("mode", mode, "java.lang.String")
     val keyRef = ctx.addReferenceObj("keyB64", keyB64, "java.lang.String")
     val nsRef = ctx.addReferenceObj("ns", ns, "java.lang.String")
+    val polRef = ctx.addReferenceObj("policiesCsv", policiesCsv, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.spark.expressions.ExprHelpers.pageStages($c, $modeRef, $keyRef, $nsRef)")
+      s"graft.spark.expressions.ExprHelpers.pageStages($c, $modeRef, $keyRef, $nsRef, $polRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): PageStagesExpr =
     copy(child = newChild)
@@ -208,9 +225,10 @@ object GraftExtensions {
     ("simhash64", info("simhash64", "_FUNC_(text) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)),
     ("page_stages", info("page_stages",
-      "_FUNC_(text, mode, key_b64, ns) - fused langid+perplexity+quality+scrub struct"),
+      "_FUNC_(text, mode, key_b64, ns[, policies_csv]) - fused langid+perplexity+quality+scrub struct"),
       (args: Seq[Expression]) => PageStagesExpr(args.head,
-        args(1).eval().toString, args(2).eval().toString, args(3).eval().toString)))
+        args(1).eval().toString, args(2).eval().toString, args(3).eval().toString,
+        if (args.length > 4) args(4).eval().toString else "")))
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

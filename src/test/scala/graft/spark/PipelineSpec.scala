@@ -113,6 +113,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("policy set restricts which kinds are scrubbed (both stage paths)") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://a.example/1", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        "mail a@b.cc tel 03-1234-5678 id ACC-12345 pay ¥1,234", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    for (native <- Seq(true, false)) {
+      val out = Pipeline.run(spark, df, Pipeline.Conf(
+        scrubMode = "tags", policies = Set("email", "id"), nativeStages = native))
+        .select("scrubbed_text", "n_hits").head()
+      val scrubbed = out.getString(0)
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<ID>"))
+      assert(scrubbed.contains("03-1234-5678") && scrubbed.contains("¥1,234"),
+        s"non-policy kinds must survive: $scrubbed")
+      val counts = out.getMap[String, Long](1).toMap
+      assert(counts.keySet == Set("email", "id"))
+    }
+  }
+
   test("security level gates the NER stage at plan-construction time") {
     import spark.implicits._
     import Pipeline.SecurityLevel._
