@@ -17,7 +17,7 @@ object Detect {
 
   private def scan(pat: Pattern, text: String, kind: String, conf: Double,
                    reason: String, out: VectorBuilder[Hit]): Unit = {
-    val m = pat.matcher(text)
+    val m = Scrub.matcherFor(pat, text) // thread-confined matcher reuse
     while (m.find()) out += Hit(kind, m.group(), m.start(), m.end(), conf, reason)
   }
 
