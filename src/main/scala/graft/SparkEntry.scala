@@ -220,6 +220,19 @@ object SparkEntry {
       Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
         minDotQ = 380000L)),
 
+    // scale twin: signature-bucketed near-dup pair mining over in-query
+    // planted perturbed copies (cosine ≈ 0.98 — the LSH operating regime)
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val near = e.where(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * lit(0.98) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double") + lit(1000000.0)))
+          .cast("array<float>").as("embedding"))
+      Dedup.embeddingNearDupsLsh(e.unionByName(near), "vec_id", "embedding",
+        minDotQ = 900000L)
+    }),
+
     // -- similarity search --
     "q_ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -678,6 +691,7 @@ object SparkEntry {
     "q_pipeline" -> pinSql("q_pipeline"),
     "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
     "q_dup_minhash" -> pinSql("q_dup_minhash"),
+    "q_embed_neardup_lsh" -> pinSql("q_embed_neardup_lsh"),
     "q_dup_simhash" -> pinSql("q_dup_simhash"),
     "q_ann_lsh" -> pinSql("q_ann_lsh"),
     "q_ann_ivf" -> pinSql("q_ann_ivf")

@@ -131,7 +131,8 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs on integer-quantized vectors (exact,
-    * order-independent integer dot → oracle-reproducible). */
+    * order-independent integer dot → oracle-reproducible). QUADRATIC —
+    * verification tier only; the scale path is [[embeddingNearDupsLsh]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
                         minDotQ: Long): DataFrame = {
     val q = df.select(col(idCol).as("id"), col(embCol).as("e"))
@@ -139,5 +140,42 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         Ann.dotQuantized(col("x.e"), col("y.e")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
+  }
+
+  /** Scale path for embedding near-dup PAIR MINING (the quadratic tier's
+    * LSH twin): vectors bucket by their random-hyperplane sign signature —
+    * near-duplicates (cosine ≈ 1) agree on almost every hyperplane sign, so
+    * `tables` independent signatures catch them with high probability —
+    * then candidates equi-join per (table, signature) bucket and verify
+    * with the exact quantized dot. Shuffle carries (sig, id, embedding);
+    * candidate count is bounded by bucket populations (2^nBits buckets per
+    * table), never N²/2. Output: (a, b, dot_q) with a < b, deduped across
+    * tables.
+    *
+    * Operating regime: NEAR-duplicates (cosine ≥ ~0.95; sign-agreement
+    * prob p = 1−θ/π ≥ 0.93, so P(caught) = 1−(1−p^nBits)^tables ≥ 0.98 at
+    * the defaults). Mining mid-similarity pairs (cosine ~0.4) is NOT an
+    * LSH-solvable problem at subquadratic cost — that tier stays with the
+    * exact [[embeddingNearDups]]. nBits grows with log2(N) at scale. */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
+                           minDotQ: Long, nBits: Int = 10, tables: Int = 6,
+                           seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(col(embCol)).head().getSeq[Float](0).length
+    val sigCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        Ann.signature(col(embCol), Ann.hyperplanes(nBits, dim, seed + t * 7919L))
+          .as("sig"))
+    }
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("e"),
+      explode(array(sigCols: _*)).as("ts"))
+      .select(col("id"), col("e"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val l = bucketed.select(col("t"), col("sig"), col("id").as("a"), col("e").as("ea"))
+    val r = bucketed.select(col("t"), col("sig"), col("id").as("b"), col("e").as("eb"))
+    l.join(r, Seq("t", "sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), Ann.dotQuantized(col("ea"), col("eb")).as("dot_q"))
+      .where(col("dot_q") >= minDotQ)
+      .groupBy(col("a"), col("b")).agg(max("dot_q").as("dot_q"))
   }
 }

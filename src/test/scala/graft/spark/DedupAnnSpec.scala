@@ -92,6 +92,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(dist == brute, s"distributed=${dist.size} brute=${brute.size}")
   }
 
+  test("embedding near-dup LSH: subset of exact, recall >= 0.85 on planted near-dups") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant near-duplicates (cosine ≈ 0.98): deterministic small perturbation
+    val near = e.where(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * lit(0.98) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double")))
+        .cast("array<float>").as("embedding"))
+    val aug = e.unionByName(near)
+    // threshold: just under the weakest planted pair's exact quantized dot
+    val plantedDots = Dedup.embeddingNearDups(aug, "vec_id", "embedding", 0L)
+      .where(col("b") >= 1000000L && col("b") - 1000000L === col("a"))
+      .collect().map(_.getLong(2))
+    assert(plantedDots.nonEmpty)
+    val th = plantedDots.min
+    val exact = Dedup.embeddingNearDups(aug, "vec_id", "embedding", th)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(aug, "vec_id", "embedding", th)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact tier rejects")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall over ${exact.size} exact pairs")
+    // the planted pairs specifically are nearly all caught
+    val planted = e.where(col("vec_id") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val plantedCaught = (planted & lsh).size.toDouble / planted.size
+    assert(plantedCaught >= 0.85, s"planted recall $plantedCaught")
+  }
+
   test("LSH ANN top-10 recall >= 0.7 vs brute force") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
