@@ -678,6 +678,15 @@ object SparkEntry {
       ("SELECT doc_id, pos, kind, text, \"start\", \"end\", conf_centi, reason" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/preview.parquet')"),
 
+    // model-scoring twins: CPython loads the SAME committed binary model
+    // artifacts (ModelIo format) and reimplements only the scoring loops
+    "q_langid" ->
+      s"SELECT doc_id, lang_id, conf_milli FROM read_parquet('$GoldenDir/expected_sf0.01/langid.parquet')",
+    "q_ppl" ->
+      s"SELECT doc_id, ppl_centi FROM read_parquet('$GoldenDir/expected_sf0.01/ppl.parquet')",
+    "q_ppl_lang" ->
+      s"SELECT doc_id, lang, ppl_centi FROM read_parquet('$GoldenDir/expected_sf0.01/ppl_lang.parquet')",
+
     // ---- self-generated regression pins ------------------------------------
     // These queries have no independent engine to recompute them (model-based
     // langid/perplexity; our own minhash/simhash/LSH/IVF constructions), so
@@ -685,9 +694,6 @@ object SparkEntry {
     // tools/regen_pins.sh, reviewed at pin time; recall/parity properties are
     // separately asserted in ScalaTest). A pin catches UNINTENDED semantic
     // drift — it is a regression check, not an independent derivation.
-    "q_langid" -> pinSql("q_langid"),
-    "q_ppl" -> pinSql("q_ppl"),
-    "q_ppl_lang" -> pinSql("q_ppl_lang"),
     "q_pipeline" -> pinSql("q_pipeline"),
     "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
     "q_dup_minhash" -> pinSql("q_dup_minhash"),

@@ -178,8 +178,12 @@ object LangId {
       "的 了 是 在 有 我们 他们 这个 那个 可以 没有 就是 因为 所以 但是 如果")
   )
 
-  /** Deterministically trained default model (computed once per JVM). */
-  lazy val default: LangIdModel = train(seedCorpus)
+  /** Runtime model = the committed binary artifact (GenModels regenerates
+    * it from [[trainDefault]]); training stays available for rebuilds. */
+  lazy val default: LangIdModel =
+    ModelIo.readLangId(ModelIo.resource("/graft/langid.bin"))
+
+  private[core] def trainDefault: LangIdModel = train(seedCorpus)
 
   def train(corpus: Vector[(String, String)]): LangIdModel = {
     val langs = corpus.map(_._1)

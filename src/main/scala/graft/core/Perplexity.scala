@@ -111,7 +111,12 @@ object Perplexity {
       "the meeting starts at ten and we expect it to last about one hour " +
       "numbers like 12345 and 2024 appear in normal text without breaking it ") * 2
 
-  lazy val default: PerplexityModel = train(seedCorpus)
+  /** Runtime model = the committed binary artifact (GenModels regenerates
+    * it from [[trainDefault]]); training stays available for rebuilds. */
+  lazy val default: PerplexityModel =
+    ModelIo.readPpl(ModelIo.resource("/graft/ppl_en.lm"))
+
+  private[core] def trainDefault: PerplexityModel = train(seedCorpus)
 
   // CCNet-style per-language banks: production web pipelines score each
   // document with the LM of ITS language (one KenLM per lang in CCNet);
@@ -148,10 +153,16 @@ object Perplexity {
       "l eau descend la riviere passe le vieux pont et rejoint la vaste mer " +
       "chaque annee des milliers d etudiants apprennent a ecrire des phrases claires ") * 2
 
+  private[core] def trainBank: Map[String, PerplexityModel] = Map(
+    "en" -> trainDefault, "es" -> train(seedEs), "de" -> train(seedDe),
+    "fr" -> train(seedFr))
+
   /** Per-language models; unknown langs fall back to [[default]] (en). */
   lazy val bank: Map[String, PerplexityModel] = Map(
-    "en" -> default, "es" -> train(seedEs), "de" -> train(seedDe),
-    "fr" -> train(seedFr))
+    "en" -> default,
+    "es" -> ModelIo.readPpl(ModelIo.resource("/graft/ppl_es.lm")),
+    "de" -> ModelIo.readPpl(ModelIo.resource("/graft/ppl_de.lm")),
+    "fr" -> ModelIo.readPpl(ModelIo.resource("/graft/ppl_fr.lm")))
 
   def forLang(lang: String): PerplexityModel =
     bank.getOrElse(lang, default)

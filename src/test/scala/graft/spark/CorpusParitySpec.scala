@@ -24,6 +24,16 @@ class CorpusParitySpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("langid + perplexity match the CPython scoring twins over the corpus") {
+    for ((q, exp) <- Seq("q_langid" -> "langid", "q_ppl" -> "ppl",
+      "q_ppl_lang" -> "ppl_lang")) {
+      val got = SparkEntry.queries(q)(spark, dir)
+      val want = spark.read.parquet(s"$golden/$exp.parquet")
+      assert(got.count() == 500, q)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, q)
+    }
+  }
+
   test("preview hit relation (offsets, confs, order) matches CPython") {
     val got = SparkEntry.queries("q_preview")(spark, dir)
       .select(col("doc_id"), col("pos"), col("kind"), col("text"),

@@ -178,3 +178,140 @@ pq.write_table(pa.table({
     "n": pa.array([n for _, n in ner_rows], pa.int64()),
 }), f"{OUT}/ner_model.parquet")
 print(f"wrote {OUT}/ner_model.parquet ({ner_rows})")
+
+# ---------------------------------------------------------------------------
+# Model-scoring twins: load the SAME committed binary model artifacts the
+# engine broadcasts (src/main/resources/graft/*.bin|*.lm, ModelIo format) and
+# reimplement ONLY the scoring loops — an independent implementation of
+# LangIdModel.classify / PerplexityModel.perplexity. Java char semantics are
+# replicated explicitly (Character.isWhitespace excludes NBSP-family;
+# toLowerCase is the simple one-char mapping — take lower()[0]).
+import struct, unicodedata
+
+def java_lower(c):
+    lc = c.lower()
+    return lc[0] if lc else c
+
+def is_java_ws(c):
+    if c in '\t\n\x0b\f\r\x1c\x1d\x1e\x1f':
+        return True
+    if c in '\xa0  ':
+        return False
+    return unicodedata.category(c) in ('Zs', 'Zl', 'Zp')
+
+RES = "src/main/resources/graft"
+
+def read_ppl(path):
+    b = open(path, 'rb').read()
+    a = struct.unpack('>i', b[:4])[0]
+    return a, struct.unpack(f'>{a*a*a}f', b[4:])
+
+def ppl_sym(c):
+    lc = java_lower(c)
+    o = ord(lc)
+    if 97 <= o <= 122: return o - 97
+    if 48 <= o <= 57: return 26 + (o - 48)
+    return 36 if is_java_ws(lc) else 37
+
+def perplexity(lp, text, A=38, max_ppl=1e6):
+    lim = min(len(text), 8192)
+    if lim == 0:
+        return max_ppl
+    c2 = c1 = 36
+    s = 0.0
+    for i in range(lim):
+        c0 = ppl_sym(text[i])
+        s += lp[(c2 * A + c1) * A + c0]
+        c2, c1 = c1, c0
+    return min(math.exp(-s / lim), max_ppl)
+
+def read_langid(path):
+    b = open(path, 'rb')
+    nl = struct.unpack('>i', b.read(4))[0]
+    langs = []
+    for _ in range(nl):
+        ln = struct.unpack('>i', b.read(4))[0]
+        langs.append(b.read(ln).decode('utf-8'))
+    ng = struct.unpack('>i', b.read(4))[0]
+    keys = struct.unpack(f'>{ng}q', b.read(8 * ng))
+    probs = struct.unpack(f'>{ng*nl}d', b.read(8 * ng * nl))
+    dflt = struct.unpack(f'>{nl}d', b.read(8 * nl))
+    return langs, {k: r for r, k in enumerate(keys)}, probs, dflt
+
+def normalize(text):
+    out = [' ']
+    last_space = True
+    for ch in text[:4096]:
+        c = java_lower(ch)
+        if is_java_ws(c):
+            if not last_space:
+                out.append(' ')
+                last_space = True
+        else:
+            out.append(c)
+            last_space = False
+    out.append(' ')
+    return ''.join(out)
+
+def classify(model, text):
+    langs, keymap, probs, dflt = model
+    t = normalize(text)
+    nl = len(langs)
+    scores = [0.0] * nl
+    n = 0
+    L = len(t)
+    for pos in range(L):
+        for ln in (1, 2, 3):
+            if pos + ln > L:
+                break
+            key = ln << 48
+            for j in range(ln):
+                key |= ord(t[pos + j]) << (j * 16)
+            row = keymap.get(key, -1)
+            if row >= 0:
+                off = row * nl
+                for i in range(nl):
+                    scores[i] += probs[off + i]
+            else:
+                for i in range(nl):
+                    scores[i] += dflt[i]
+            n += 1
+    if n == 0:
+        return "und", 0.0
+    best = 0
+    for i in range(1, nl):
+        if scores[i] > scores[best]:
+            best = i
+    mx = scores[best] / n
+    z = 0.0
+    for i in range(nl):
+        z += math.exp(scores[i] / n - mx)
+    return langs[best], 1.0 / z
+
+lid = read_langid(f"{RES}/langid.bin")
+lid_rows = [(d, *classify(lid, t)) for d, t in rows]
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in lid_rows], pa.int64()),
+    "lang_id": pa.array([r[1] for r in lid_rows], pa.string()),
+    "conf_milli": pa.array([math.floor(r[2] * 1000) for r in lid_rows], pa.int64()),
+}), f"{OUT}/langid.parquet")
+
+ppl_en = read_ppl(f"{RES}/ppl_en.lm")[1]
+ppl_rows = [(d, math.floor(perplexity(ppl_en, t) * 100)) for d, t in rows]
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in ppl_rows], pa.int64()),
+    "ppl_centi": pa.array([r[1] for r in ppl_rows], pa.int64()),
+}), f"{OUT}/ppl.parquet")
+
+bank = {l: read_ppl(f"{RES}/ppl_{l}.lm")[1] for l in ("en", "es", "de", "fr")}
+lang_col = dict(duckdb.sql(
+    f"SELECT doc_id, lang FROM '{SF_DIR}/documents.parquet'").fetchall())
+pl_rows = [(d, lang_col[d],
+            math.floor(perplexity(bank.get(lang_col[d], bank["en"]), t) * 100))
+           for d, t in rows]
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in pl_rows], pa.int64()),
+    "lang": pa.array([r[1] for r in pl_rows], pa.string()),
+    "ppl_centi": pa.array([r[2] for r in pl_rows], pa.int64()),
+}), f"{OUT}/ppl_lang.parquet")
+print(f"wrote {OUT}/langid.parquet, ppl.parquet, ppl_lang.parquet")
