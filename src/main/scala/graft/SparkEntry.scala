@@ -687,6 +687,17 @@ object SparkEntry {
     "q_ppl_lang" ->
       s"SELECT doc_id, lang, ppl_centi FROM read_parquet('$GoldenDir/expected_sf0.01/ppl_lang.parquet')",
 
+    // dedup/ANN construction twins: CPython reimplements the MurmurHash3 /
+    // splitmix64 / float-product math bit-for-bit (tools/gen_expected.py)
+    "q_dup_simhash" ->
+      s"SELECT a, b, dist FROM read_parquet('$GoldenDir/expected_sf0.01/dup_simhash.parquet')",
+    "q_dup_minhash" ->
+      s"SELECT a, b, sim FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash.parquet')",
+    "q_embed_neardup_lsh" ->
+      s"SELECT a, b, dot_q FROM read_parquet('$GoldenDir/expected_sf0.01/embed_neardup_lsh.parquet')",
+    "q_ann_lsh" ->
+      s"SELECT vec_id, score FROM read_parquet('$GoldenDir/expected_sf0.01/ann_lsh.parquet')",
+
     // ---- self-generated regression pins ------------------------------------
     // These queries have no independent engine to recompute them (model-based
     // langid/perplexity; our own minhash/simhash/LSH/IVF constructions), so
@@ -696,10 +707,6 @@ object SparkEntry {
     // drift — it is a regression check, not an independent derivation.
     "q_pipeline" -> pinSql("q_pipeline"),
     "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
-    "q_dup_minhash" -> pinSql("q_dup_minhash"),
-    "q_embed_neardup_lsh" -> pinSql("q_embed_neardup_lsh"),
-    "q_dup_simhash" -> pinSql("q_dup_simhash"),
-    "q_ann_lsh" -> pinSql("q_ann_lsh"),
     "q_ann_ivf" -> pinSql("q_ann_ivf")
   )
 

@@ -315,3 +315,292 @@ pq.write_table(pa.table({
     "ppl_centi": pa.array([r[2] for r in pl_rows], pa.int64()),
 }), f"{OUT}/ppl_lang.parquet")
 print(f"wrote {OUT}/langid.parquet, ppl.parquet, ppl_lang.parquet")
+
+# ---------------------------------------------------------------------------
+# Dedup-construction twins: independent reimplementation of TextDedup's
+# MinHash-LSH and SimHash pipelines (core/TextDedup.scala, spark/Dedup.scala)
+# including scala.util.hashing.MurmurHash3's string/array hashes — all
+# integer math, so CPython reproduces the Scala outputs bit-for-bit.
+M32 = 0xffffffff
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (32 - r))) & M32
+
+def _mix(h, k):
+    k = (k * 0xcc9e2d51) & M32
+    k = _rotl(k, 15)
+    k = (k * 0x1b873593) & M32
+    h ^= k
+    h = _rotl(h, 13)
+    return (h * 5 + 0xe6546b64) & M32
+
+def _mix_last(h, k):
+    k = (k * 0xcc9e2d51) & M32
+    k = _rotl(k, 15)
+    k = (k * 0x1b873593) & M32
+    return h ^ k
+
+def _fmix(h, length):
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85ebca6b) & M32
+    h ^= h >> 13
+    h = (h * 0xc2b2ae35) & M32
+    h ^= h >> 16
+    return h
+
+def scala_string_hash(s, seed):
+    h = seed & M32
+    i = 0
+    n = len(s)
+    while i + 1 < n:
+        h = _mix(h, ((ord(s[i]) << 16) + ord(s[i + 1])) & M32)
+        i += 2
+    if i < n:
+        h = _mix_last(h, ord(s[i]))
+    return _fmix(h, n)
+
+def scala_array_hash(a, seed):
+    h = seed & M32
+    for v in a:
+        h = _mix(h, v & M32)
+    return _fmix(h, len(a))
+
+def to_s32(x):
+    x &= M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+def to_s64(x):
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+def hash64(s):  # TextDedup.hash64: two seeded murmur32s
+    h1 = to_s32(scala_string_hash(s, 0x9747b28c))
+    h2 = scala_string_hash(s, 0x85ebca6b) & M32
+    return ((h1 << 32) | h2) & ((1 << 64) - 1)
+
+def splitmix(x0):
+    x = (x0 + 0x9e3779b97f4a7c15) & ((1 << 64) - 1)
+    x = ((x ^ (x >> 30)) * 0xbf58476d1ce4e5b9) & ((1 << 64) - 1)
+    x = ((x ^ (x >> 27)) * 0x94d049bb133111eb) & ((1 << 64) - 1)
+    return x ^ (x >> 31)
+
+HASH_A = [splitmix(i * 2 + 1) | 1 for i in range(256)]
+HASH_B = [splitmix(0x5151 + i) for i in range(256)]
+
+WS_RE = re.compile(r'[ \t\n\x0b\f\r]+')  # java regex \s is ASCII-only
+
+def tokens(text):  # Quality.tokens: String.toLowerCase + split("\s+")
+    return [t for t in WS_RE.split(text.lower()) if t]
+
+def shingles(text, k):
+    t = tokens(text)
+    if len(t) < k:
+        return [' '.join(t)] if t else []
+    return [' '.join(t[i:i + k]) for i in range(len(t) - k + 1)]
+
+def min_hash(text, k, num):
+    sig = [0x7fffffff] * num
+    for s in shingles(text, k):
+        h = hash64(s)
+        for i in range(num):
+            v = to_s32(((HASH_A[i] * h + HASH_B[i]) & ((1 << 64) - 1)) >> 32)
+            if v < sig[i]:
+                sig[i] = v
+    return sig
+
+def band_keys(sig, bands):
+    rows = len(sig) // bands
+    return [((b << 32) | (scala_array_hash(sig[b * rows:(b + 1) * rows], b)
+             & M32)) for b in range(bands)]
+
+def sim_hash(text):
+    votes = [0] * 64
+    for t in tokens(text):
+        h = hash64(t)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out
+
+# the dedup corpus: exact twin of SparkEntry.docsDedup / dedupCte
+ddocs = [(d, t) for d, t in rows]
+ddocs += [(d + 2000000, t) for d, t in rows if d % 10 == 0]
+ddocs += [(d + 1000000, t + " zz yy xx") for d, t in rows if d % 7 == 0]
+
+# --- q_dup_simhash expected: (a, b, min dist) with hamming <= 3
+sh = [(d, sim_hash(t)) for d, t in ddocs]
+sh_pairs = {}
+for i in range(len(sh)):
+    for j in range(i + 1, len(sh)):
+        a, ha = sh[i]
+        b, hb = sh[j]
+        if a > b:
+            a, b, ha, hb = b, a, hb, ha
+        dist = bin(ha ^ hb).count('1')
+        if dist <= 3:
+            k = (a, b)
+            if k not in sh_pairs or dist < sh_pairs[k]:
+                sh_pairs[k] = dist
+sh_rows = sorted(sh_pairs.items())
+pq.write_table(pa.table({
+    "a": pa.array([k[0] for k, _ in sh_rows], pa.int64()),
+    "b": pa.array([k[1] for k, _ in sh_rows], pa.int64()),
+    "dist": pa.array([d for _, d in sh_rows], pa.int32()),
+}), f"{OUT}/dup_simhash.parquet")
+
+# --- q_dup_minhash expected: Dedup.minHashLsh(k=3, 128, 32 bands, th 0.5)
+# exact-collapse first: min-id representative per md5(text); star arcs
+by_digest = {}
+for d, t in ddocs:
+    by_digest.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+arcs = {}
+reps = []
+rep_text = {}
+txt = dict(ddocs)
+for dig, ids in by_digest.items():
+    rep = min(ids)
+    reps.append(rep)
+    rep_text[rep] = txt[rep]
+    for i in ids:
+        if i != rep:
+            arcs[(rep, i)] = 1.0
+sigs = {r: min_hash(rep_text[r], 3, 128) for r in reps}
+buckets = {}
+for r in reps:
+    for bk in band_keys(sigs[r], 32):
+        buckets.setdefault(bk, []).append(r)
+mh_pairs = {}
+for bk, ids in buckets.items():
+    if len(ids) > 4096:
+        continue  # band-bucket population cap
+    ids = sorted(ids)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            sa, sb = sigs[a], sigs[b]
+            eq = sum(1 for x, y in zip(sa, sb) if x == y)
+            sim = eq / 128
+            if sim >= 0.5:
+                k = (a, b)
+                if k not in mh_pairs or sim > mh_pairs[k]:
+                    mh_pairs[k] = sim
+mh_pairs.update(arcs)
+mh_rows = sorted(mh_pairs.items())
+pq.write_table(pa.table({
+    "a": pa.array([k[0] for k, _ in mh_rows], pa.int64()),
+    "b": pa.array([k[1] for k, _ in mh_rows], pa.int64()),
+    "sim": pa.array([s for _, s in mh_rows], pa.float64()),
+}), f"{OUT}/dup_minhash.parquet")
+print(f"wrote {OUT}/dup_simhash.parquet ({len(sh_rows)}), "
+      f"dup_minhash.parquet ({len(mh_rows)})")
+
+# ---------------------------------------------------------------------------
+# ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
+# the signature dot (float values widened to double), the quantized dot, and
+# cosine (note: Spark's zip_with multiply is a FLOAT product — float32
+# rounding replicated via numpy).
+import numpy as np
+
+evecs = {int(v): [float(x) for x in e] for v, e in duckdb.sql(
+    f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'").fetchall()}
+DIM = len(next(iter(evecs.values())))
+
+def hyperplanes(n_bits, dim, seed):
+    planes = []
+    for i in range(n_bits):
+        row = []
+        for j in range(dim):
+            x = (seed + i * 1000003 + j + 0x9e3779b97f4a7c15) & ((1 << 64) - 1)
+            x = ((x ^ (x >> 30)) * 0xbf58476d1ce4e5b9) & ((1 << 64) - 1)
+            x = ((x ^ (x >> 27)) * 0x94d049bb133111eb) & ((1 << 64) - 1)
+            x = x ^ (x >> 31)
+            row.append(float(np.float32((x >> 11) / float(1 << 53) * 2.0 - 1.0)))
+        planes.append(row)
+    return planes
+
+def signature(v, planes):
+    s = 0
+    for i, p in enumerate(planes):
+        d = 0.0
+        for j in range(min(len(p), len(v))):
+            d += p[j] * v[j]  # double product of float-widened values
+        if d >= 0:
+            s |= 1 << i
+    return s
+
+def dot_q(a, b):
+    s = 0
+    for x, y in zip(a, b):
+        s += math.floor(x * 1000) * math.floor(y * 1000)
+    return s
+
+# --- q_embed_neardup_lsh expected (planted near copies, th 900000)
+aug = dict(evecs)
+for v, e in evecs.items():
+    if v % 5 == 0:
+        nid = v + 1000000
+        # NOTE: in the Spark query, col("vec_id") inside the transform
+        # lambda resolves LATERALLY to the aliased (vec_id + 1000000)
+        # column, so the sin argument is i + v + 2_000_000
+        aug[nid] = [float(np.float32(x * 0.98 + 0.02 * math.sin(i + nid + 1000000)))
+                    for i, x in enumerate(e)]
+el_pairs = {}
+for t in range(6):
+    planes = hyperplanes(10, DIM, 42 + t * 7919)
+    bk = {}
+    for v, e in aug.items():
+        bk.setdefault(signature(e, planes), []).append(v)
+    for ids in bk.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                d = dot_q(aug[a], aug[b])
+                if d >= 900000:
+                    el_pairs[(a, b)] = max(el_pairs.get((a, b), d), d)
+el_rows = sorted(el_pairs.items())
+pq.write_table(pa.table({
+    "a": pa.array([k[0] for k, _ in el_rows], pa.int64()),
+    "b": pa.array([k[1] for k, _ in el_rows], pa.int64()),
+    "dot_q": pa.array([d for _, d in el_rows], pa.int64()),
+}), f"{OUT}/embed_neardup_lsh.parquet")
+
+# --- q_ann_lsh expected: lshTopK(vec_id != 0, query = vec 0, k=10, nBits=6)
+def cosine(a, b):
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(np.float32(x) * np.float32(y))  # FLOAT product
+    for x in a:
+        na += float(np.float32(x) * np.float32(x))
+    for y in b:
+        nb += float(np.float32(y) * np.float32(y))
+    return dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+
+qv = evecs[0]
+all_planes = [hyperplanes(6, DIM, 42 + t * 7919) for t in range(3)]
+q_sigs = [signature(qv, p) for p in all_planes]
+cands = []
+for v, e in evecs.items():
+    if v == 0:
+        continue
+    ok = False
+    for t in range(3):
+        if bin(signature(e, all_planes[t]) ^ q_sigs[t]).count('1') <= 2:
+            ok = True
+            break
+    if ok:
+        cands.append((v, cosine(e, qv)))
+cands.sort(key=lambda p: (-p[1], p[0]))
+top = cands[:10]
+pq.write_table(pa.table({
+    "vec_id": pa.array([v for v, _ in top], pa.int64()),
+    "score": pa.array([s for _, s in top], pa.float64()),
+}), f"{OUT}/ann_lsh.parquet")
+print(f"wrote {OUT}/embed_neardup_lsh.parquet ({len(el_rows)}), "
+      f"ann_lsh.parquet ({len(top)})")
