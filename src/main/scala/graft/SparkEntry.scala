@@ -398,11 +398,17 @@ object SparkEntry {
     }),
 
     // flagship pipeline over the deterministic generated corpus; timestamp
-    // emitted as epoch millis so the pinned-parquet compare is dtype-stable
+    // as epoch millis, model doubles quantized (floor milli/centi) — raw
+    // exp() outputs differ by 1 ulp between JVM and CPython libm, and the
+    // CPython twin oracle must be bit-comparable
     "q_pipeline" -> ((s, _) =>
       Pipeline.run(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")
-        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")),
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")
+        .withColumn("conf_milli", floor(col("lang_conf") * 1000).cast("long"))
+        .drop("lang_conf")
+        .withColumn("ppl_centi", floor(col("ppl") * 100).cast("long"))
+        .drop("ppl")),
 
     // /redact/preview analog (SURVEY §3.3): the exploded hits relation with
     // exact offsets instead of bboxes
@@ -417,7 +423,11 @@ object SparkEntry {
     "q_pipeline_dedup" -> ((s, _) =>
       Pipeline.runDeduped(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")
-        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")),
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")
+        .withColumn("conf_milli", floor(col("lang_conf") * 1000).cast("long"))
+        .drop("lang_conf")
+        .withColumn("ppl_centi", floor(col("ppl") * 100).cast("long"))
+        .drop("ppl")),
 
     "q_langid" -> ((s, dir) => {
       val b = s.sparkContext.broadcast(graft.core.LangId.default)
@@ -698,6 +708,19 @@ object SparkEntry {
     "q_ann_lsh" ->
       s"SELECT vec_id, score FROM read_parquet('$GoldenDir/expected_sf0.01/ann_lsh.parquet')",
 
+    // the FLAGSHIP, twinned end-to-end: CPython recomputes DataGen
+    // (java.util.Random LCG port), langid/ppl (shared model artifacts),
+    // quality metrics, keep/drop chain, dict scrub and the fingerprint
+    // dedup (tools/gen_expected_pipeline.py) — bit-exact per url
+    "q_pipeline" ->
+      ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
+        " drop_reason, scrubbed_text, warc_ms" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline.parquet')"),
+    "q_pipeline_dedup" ->
+      ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
+        " drop_reason, scrubbed_text, warc_ms" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
     // ---- self-generated regression pins ------------------------------------
     // These queries have no independent engine to recompute them (model-based
     // langid/perplexity; our own minhash/simhash/LSH/IVF constructions), so
@@ -705,8 +728,6 @@ object SparkEntry {
     // tools/regen_pins.sh, reviewed at pin time; recall/parity properties are
     // separately asserted in ScalaTest). A pin catches UNINTENDED semantic
     // drift — it is a regression check, not an independent derivation.
-    "q_pipeline" -> pinSql("q_pipeline"),
-    "q_pipeline_dedup" -> pinSql("q_pipeline_dedup"),
     "q_ann_ivf" -> pinSql("q_ann_ivf")
   )
 

@@ -1,0 +1,288 @@
+#!/usr/bin/env python3
+"""CPython twin of the FLAGSHIP pipeline (dev-time only; output committed).
+
+Independently recomputes q_pipeline and q_pipeline_dedup end-to-end:
+  DataGen.pageFor (java.util.Random LCG twin) → langid + perplexity (shared
+  committed model artifacts, twin_lib scoring) → Quality.metricsNaive twin →
+  Pipeline keep/drop chain → Scrub.scrubDict twin (9-pattern union regex,
+  per-document numbered aliases) → the exact output projection.
+
+Every stage is an independent reimplementation of the Scala semantics; a
+mismatch on any of the 2000 generated pages turns the driver's oracle row
+red. Usage: python3 tools/gen_expected_pipeline.py [outDir]
+"""
+import re, math, os, sys
+import pyarrow as pa, pyarrow.parquet as pq
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from twin_lib import (JavaRandom, splitmix64, java_lower, is_java_ws,
+                      is_letter, is_digit, is_cjk_script, read_ppl,
+                      perplexity, read_langid, classify)
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/golden/expected_sf0.01"
+RES = "src/main/resources/graft"
+os.makedirs(OUT, exist_ok=True)
+
+# ---- DataGen twin (spark/DataGen.scala) -------------------------------------
+LANGS = [("en", 0.50), ("es", 0.10), ("de", 0.10), ("fr", 0.10),
+         ("ja", 0.10), ("zh", 0.10)]
+
+POOL = {
+    "en": ["The quick brown fox jumps over the lazy dog near the river bank.",
+           "Most readers scan the first page of a report and then move on to other work.",
+           "Our support team answers questions about orders within one business day.",
+           "The library opens at nine in the morning and closes at eight in the evening.",
+           "A small group of people walked along the quiet street in the early morning.",
+           "Data systems read rows from tables, filter them, and write the results back."],
+    "es": ["El zorro marron salta sobre el perro perezoso cerca de la orilla del rio.",
+           "La mayoria de los lectores revisan la primera pagina y luego siguen con su trabajo.",
+           "Nuestro equipo de soporte responde preguntas sobre pedidos cada dia.",
+           "La biblioteca abre a las nueve de la manana y cierra a las ocho de la tarde."],
+    "de": ["Der braune Fuchs springt uber den faulen Hund am Ufer des Flusses.",
+           "Die meisten Leser lesen die erste Seite und wenden sich dann anderer Arbeit zu.",
+           "Unser Team beantwortet Fragen zu Bestellungen innerhalb eines Tages.",
+           "Die Bibliothek offnet um neun Uhr morgens und schliesst um acht Uhr abends."],
+    "fr": ["Le renard brun saute par dessus le chien paresseux pres de la riviere.",
+           "La plupart des lecteurs lisent la premiere page puis passent a autre chose.",
+           "Notre equipe repond aux questions sur les commandes chaque jour.",
+           "La bibliotheque ouvre a neuf heures du matin et ferme a huit heures du soir."],
+    "ja": ["速い茶色の狐はのろまな犬を飛び越えます そして静かな川の近くを歩きます",
+           "多くの読者は最初のページを読んでから他の仕事に移ります",
+           "サポートチームは注文に関する質問に毎日答えています",
+           "図書館は朝九時に開いて夜八時に閉まります"],
+    "zh": ["敏捷的棕色狐狸跳过了懒惰的狗 然后沿着安静的河边走",
+           "大多数读者看完第一页 就去做别的工作了",
+           "我们的支持团队每天回答关于订单的问题",
+           "图书馆早上九点开门 晚上八点关门"],
+}
+
+FILLERS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+           "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+           "pi", "rho", "sigma", "tau", "upsilon"]
+RARE = ["zyx", "qwv", "plk", "mnb", "trd", "gfs", "hjk", "wqe"]
+GIB = "#$%&*+=~^|@!?<>{}[]()abcdefgh0123456789"
+
+PII_SNIPPETS = [
+    lambda r: f"Contact taro.yamada+{r % 97}@example.co.jp for details.",
+    lambda r: f"Call 03-{1000 + r % 9000:04d}-{1000 + r % 9000:04d} today.",
+    lambda r: f"Intl line +81-3-{1000 + r % 9000:04d}-{100 + r % 900:03d}.",
+    lambda r: f"Invoice total ¥{1 + r % 9},{r % 1000:03d},{r % 1000:03d} paid.",
+    lambda r: f"Budget JPY {1 + r % 9},{r % 1000:03d} remains.",
+    lambda r: f"Ticket ACC-{10000 + r % 90000} and USR-{1000 + r % 9000} closed.",
+    lambda r: f"Ship to 〒{100 + r % 900:03d}-{1000 + r % 9000:04d} Japan.",
+    lambda r: "担当は山田太郎さんと田中 花子様です。",
+    lambda r: "住所は東京都新宿区西 で受付します。",
+]
+
+def jabs(x):  # Java Math.abs on Long (MinValue stays negative)
+    return x if x >= 0 or x == -(1 << 63) else -x
+
+def jmod(a, b):  # Java % (sign of dividend)
+    r = abs(a) % b
+    return r if a >= 0 else -r
+
+def page_for(doc_id, num_hosts=1000):
+    rnd = JavaRandom(splitmix64(doc_id))
+    host = min(num_hosts - 1,
+               int(math.floor(math.exp(rnd.next_double() * math.log(float(num_hosts))))) - 1)
+    lang_roll = rnd.next_double()
+    acc = 0.0
+    lang = "en"
+    for l, w in LANGS:
+        acc += w
+        if lang_roll < acc:
+            lang = l
+            break
+    roll = rnd.next_double()
+    pool = POOL[lang]
+    n_sent = 3 + rnd.next_int(10)
+    body = []
+    if roll < 0.70:
+        for i in range(n_sent):
+            body.append(pool[rnd.next_int(len(pool))])
+            body.append(' ')
+            body.append(FILLERS[i % len(FILLERS)])
+            body.append('\n')
+        if rnd.next_double() < 0.4:
+            n = 1 + rnd.next_int(3)
+            for _ in range(n):
+                snip = PII_SNIPPETS[rnd.next_int(len(PII_SNIPPETS))]
+                body.append(snip(jabs(rnd.next_long())))
+                body.append('\n')
+        text = ''.join(body)
+    elif roll < 0.78:
+        cnt = 300 + rnd.next_int(300)
+        for i in range(cnt):
+            body.append(GIB[rnd.next_int(len(GIB))])
+            if i % 40 == 39:
+                body.append('\n')
+        text = ''.join(body)
+    elif roll < 0.85:
+        line = pool[rnd.next_int(len(pool))]
+        for _ in range(12):
+            body.append(line)
+            body.append('\n')
+        body.append(pool[rnd.next_int(len(pool))])
+        body.append('\n')
+        text = ''.join(body)
+    elif roll < 0.90:
+        for _ in range(80):
+            body.append(RARE[rnd.next_int(len(RARE))])
+            body.append(' ')
+        text = ''.join(body)
+    elif roll < 0.93:
+        text = pool[rnd.next_int(len(pool))][:20]
+    else:
+        for i in range(n_sent + 6):
+            body.append(pool[rnd.next_int(len(pool))])
+            body.append(' ')
+            body.append(FILLERS[i % len(FILLERS)])
+            body.append('\n')
+        text = ''.join(body)
+    claimed = LANGS[rnd.next_int(len(LANGS))][0] if rnd.next_double() < 0.05 else lang
+    return (f"https://host-{host}.example/p/{doc_id}",
+            1704067200000 + doc_id * 1000, text, claimed)
+
+# ---- Quality.metrics twin (metricsNaive semantics) ---------------------------
+ASCII_WS = re.compile(r'[ \t\n\x0b\f\r]+')
+
+def q_tokens(text):
+    return [t for t in ASCII_WS.split(text.lower()) if t]
+
+STOPWORDS = set("""the a an and or of to in is it on for with as at by be this
+that from el la los las de que y en un una del se con por su para es al lo
+como der die das und ist von den im mit sich des auf ein eine um am dem zu
+nicht uber le les et dans est pour qui sur pas plus par avec son une ses aux
+ce il du""".split())
+
+def metrics(text):
+    toks = q_tokens(text)
+    n_w = len(toks)
+    n_c = len(text)
+    stop = sum(1 for t in toks if t in STOPWORDS)
+    alpha_words = sum(1 for t in toks if any(is_letter(c) for c in t))
+    sum_len = sum(len(t) for t in toks)
+    max_len = max((len(t) for t in toks), default=0)
+    symbols = letters = cjk = 0
+    for c in text:
+        if is_letter(c):
+            letters += 1
+            if is_cjk_script(c):
+                cjk += 1
+        elif not is_digit(c) and not is_java_ws(c):
+            symbols += 1
+    lines = text.split('\n')
+    dup_lines = 1.0 - len(set(lines)) / len(lines)
+    dup_words = 0.0 if n_w == 0 else 1.0 - len(set(toks)) / n_w
+    return dict(
+        nChars=n_c, nWords=n_w,
+        meanWordLen=0.0 if n_w == 0 else sum_len / n_w,
+        stopwordRatio=0.0 if n_w == 0 else stop / n_w,
+        symbolRatio=0.0 if n_c == 0 else symbols / n_c,
+        dupLineFrac=dup_lines, dupWordFrac=dup_words,
+        alphaWordRatio=0.0 if n_w == 0 else alpha_words / n_w,
+        maxWordLen=max_len, cjkRatio=0.0 if letters == 0 else cjk / letters)
+
+def decide(m, ppl):
+    cjk = m["cjkRatio"] > 0.3
+    if m["nChars"] < 40: return False, "too_short"
+    if m["nChars"] > 1000000: return False, "too_long"
+    if not cjk and m["nWords"] < 5: return False, "too_few_words"
+    if m["nWords"] > 200000: return False, "too_many_words"
+    if not cjk and m["meanWordLen"] < 2.0: return False, "mean_word_len_low"
+    if not cjk and m["meanWordLen"] > 14.0: return False, "mean_word_len_high"
+    if not cjk and m["maxWordLen"] > 60: return False, "max_word_len"
+    if m["symbolRatio"] > 0.10: return False, "symbol_ratio"
+    if not cjk and m["stopwordRatio"] < 0.01: return False, "stopword_ratio"
+    if not cjk and m["alphaWordRatio"] < 0.5: return False, "alpha_word_ratio"
+    if m["dupLineFrac"] > 0.30: return False, "dup_lines"
+    if m["dupWordFrac"] > 0.95: return False, "dup_words"
+    if not cjk and ppl > 80.0: return False, "perplexity"
+    return True, ""
+
+# ---- Scrub.scrubDict twin (FullOrder 9-pattern union, numbered aliases) ----
+SEP = r'[-．.・ー—－]'
+FULL_ORDER = [
+    ("email", "EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", "PHONE", r"(?:0\d{1,4}-\d{1,4}-\d{3,4})|(?:\+81-\d{1,4}-\d{1,4}-\d{3,4})"),
+    ("amount", "AMOUNT", r"(?:¥|JPY)?\s?\d{1,3}(?:,\d{3})+"),
+    ("id", "ID", r"\b(?:ACC|USR|ORD)-\d{4,6}\b"),
+    ("address", "ADDRESS", r'(?:〒\s*)?(?<!\d)\d{3}[ -‐−–—－]?\d{4}(?![-\d])'),
+    ("address", "ADDRESS", rf'[一-龠]{{1,10}}[都道府県][一-龠]{{1,15}}[市区町村][一-龠0-9{SEP}\s]{{0,40}}'),
+    ("name", "PERSON", r'[一-龠]{2,4}\s*[一-龠]{1,3}(?:さん|様|氏|先生|君|ちゃん)?'),
+    ("name", "PERSON", r'[ぁ-ゔ]{3,8}(?:さん|様|氏|先生|君|ちゃん)?'),
+    ("name", "PERSON", r'[ァ-ヶ]{3,8}(?:さん|様|氏|先生|君|ちゃん)?'),
+]
+UNION = re.compile("|".join(f"({p})" for _, _, p in FULL_ORDER))
+
+def scrub_dict(text):
+    dct = {}
+    counters = {}
+    def repl(m):
+        idx = next(i for i, g in enumerate(m.groups(), start=1) if g is not None)
+        _, tag, _ = FULL_ORDER[idx - 1]
+        key = (tag, m.group(0))
+        if key not in dct:
+            counters[tag] = counters.get(tag, 0) + 1
+            dct[key] = f"<{tag}_{counters[tag]}>"
+        return dct[key]
+    return UNION.sub(repl, text)
+
+# ---- Fingerprint twin (TextDedup.fingerprint) -------------------------------
+def fingerprint(text):
+    h = 1125899906842597
+    last_space = True
+    for ch in text:
+        c0 = java_lower(ch)
+        if not is_java_ws(c0):
+            h = (h * 31 + ord(c0)) & ((1 << 64) - 1)
+            last_space = False
+        elif not last_space:
+            h = (h * 31 + 32) & ((1 << 64) - 1)
+            last_space = True
+    return h
+
+# ---- run the twin pipeline ---------------------------------------------------
+LID = read_langid(f"{RES}/langid.bin")
+PPL = read_ppl(f"{RES}/ppl_en.lm")
+
+def score(url, warc_ms, text, claimed):
+    lang_id, conf = classify(LID, text)
+    ppl = perplexity(PPL, text)
+    m = metrics(text)
+    keep, reason = decide(m, ppl)
+    # quantized model outputs (1-ulp exp() divergence JVM vs libm otherwise)
+    return dict(url=url, lang_claimed=claimed, lang_id=lang_id,
+                conf_milli=math.floor(conf * 1000),
+                ppl_centi=math.floor(ppl * 100), keep=keep, drop_reason=reason,
+                scrubbed_text=scrub_dict(text), warc_ms=warc_ms)
+
+pages = [page_for(i) for i in range(2000)]
+rows = [score(*p) for p in pages]
+
+def write(path, rs):
+    pq.write_table(pa.table({
+        "url": pa.array([r["url"] for r in rs], pa.string()),
+        "lang_claimed": pa.array([r["lang_claimed"] for r in rs], pa.string()),
+        "lang_id": pa.array([r["lang_id"] for r in rs], pa.string()),
+        "conf_milli": pa.array([r["conf_milli"] for r in rs], pa.int64()),
+        "ppl_centi": pa.array([r["ppl_centi"] for r in rs], pa.int64()),
+        "keep": pa.array([r["keep"] for r in rs], pa.bool_()),
+        "drop_reason": pa.array([r["drop_reason"] for r in rs], pa.string()),
+        "scrubbed_text": pa.array([r["scrubbed_text"] for r in rs], pa.string()),
+        "warc_ms": pa.array([r["warc_ms"] for r in rs], pa.int64()),
+    }), path)
+
+write(f"{OUT}/pipeline.parquet", rows)
+
+# dedup variant: representative = min url per fingerprint(text)
+by_fp = {}
+for p in pages:
+    by_fp.setdefault(fingerprint(p[2]), []).append(p)
+survivors = []
+for fp, ps in by_fp.items():
+    rep_url = min(p[0] for p in ps)
+    survivors.extend(p for p in ps if p[0] == rep_url)
+rows_d = [score(*p) for p in survivors]
+write(f"{OUT}/pipeline_dedup.parquet", rows_d)
+print(f"wrote {OUT}/pipeline.parquet ({len(rows)}), "
+      f"pipeline_dedup.parquet ({len(rows_d)})")

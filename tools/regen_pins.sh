@@ -10,7 +10,7 @@ OUT=/tmp/verify_pins
 PINS=src/test/resources/golden/pins_sf0.01
 SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 mkdir -p "$PINS"
-for q in q_pipeline q_pipeline_dedup q_ann_ivf; do
+for q in q_ann_ivf; do
   src=$(ls "$OUT/$q"/part-*.parquet)
   cp "$src" "$PINS/$q.parquet"
   echo "pinned $q ($(wc -c < "$PINS/$q.parquet") bytes)"
