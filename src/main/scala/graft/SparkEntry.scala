@@ -707,6 +707,8 @@ object SparkEntry {
       s"SELECT a, b, dot_q FROM read_parquet('$GoldenDir/expected_sf0.01/embed_neardup_lsh.parquet')",
     "q_ann_lsh" ->
       s"SELECT vec_id, score FROM read_parquet('$GoldenDir/expected_sf0.01/ann_lsh.parquet')",
+    "q_ann_ivf" ->
+      s"SELECT vec_id, score FROM read_parquet('$GoldenDir/expected_sf0.01/ann_ivf.parquet')",
 
     // the FLAGSHIP, twinned end-to-end: CPython recomputes DataGen
     // (java.util.Random LCG port), langid/ppl (shared model artifacts),
@@ -721,18 +723,7 @@ object SparkEntry {
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
 
-    // ---- self-generated regression pins ------------------------------------
-    // These queries have no independent engine to recompute them (model-based
-    // langid/perplexity; our own minhash/simhash/LSH/IVF constructions), so
-    // the oracle is a PINNED copy of a verified run's output (regenerated by
-    // tools/regen_pins.sh, reviewed at pin time; recall/parity properties are
-    // separately asserted in ScalaTest). A pin catches UNINTENDED semantic
-    // drift — it is a regression check, not an independent derivation.
-    "q_ann_ivf" -> pinSql("q_ann_ivf")
   )
 
   private val GoldenDir = "/root/repo/src/test/resources/golden"
-
-  private def pinSql(name: String): String =
-    s"SELECT * FROM read_parquet('$GoldenDir/pins_sf0.01/$name.parquet')"
 }

@@ -97,6 +97,22 @@ object Ann {
       s
     }
 
+  /** Engine-independent content hash of a vector: splitmix64 chained over
+    * the integer-quantized elements (floor(x·1000)) — deterministic,
+    * layout-independent, and reproducible outside the JVM. */
+  def vecHash(v: Array[Float]): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < v.length) {
+      var x = h ^ math.floor(v(i).toDouble * 1000).toLong
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      h = x ^ (x >>> 31)
+      i += 1
+    }
+    h
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
     * quantizer for IVF. The sample bound keeps the driver O(sample×dim);
     * at cluster scale the sample comes from `df.sample` + `limit`, which is
@@ -108,20 +124,27 @@ object Ann {
     // hash-mod filter (layout-independent, uniform over the whole table,
     // expected ~2×sampleN survivors so the collect stays bounded), then a
     // strided driver-side downsample to sampleN — no head bias anywhere.
+    // The hash is [[vecHash]] (splitmix over the quantized vector), NOT
+    // Spark's internal hash(): an engine-independent function, so the
+    // CPython oracle twin reproduces the centroids exactly.
     val n = df.count()
     val mod = math.max(1L, n / (2L * sampleN))
+    val hashUdf = org.apache.spark.sql.functions.udf(
+      (v: Array[Float]) => vecHash(v))
     val picked = df.select(col(embCol))
-      .where(pmod(hash(col(embCol)), lit(mod)) === 0)
+      .where(pmod(hashUdf(col(embCol)), lit(mod)) === 0)
       .collect().map(_.getSeq[Float](0).toArray)
       // collect order is partition order — sort by content hash so the
       // centroids are identical for any partition layout / parallelism
-      .sortBy(v => scala.util.hashing.MurmurHash3.arrayHash(v))
+      .sortBy(vecHash)
     val sample =
       if (picked.length <= sampleN) picked
       else Array.tabulate(sampleN)(i => picked((i.toLong * picked.length / sampleN).toInt))
     require(sample.length >= k, s"need >= $k sample vectors")
     val dim = sample(0).length
-    // deterministic init: evenly strided sample points
+    // deterministic init: evenly strided points of the hash-ordered sample
+    // (hash order ≈ random order, so strides are a uniform draw; farthest-
+    // point init was tried and picks outliers as seeds on noisy data)
     var cents = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
     (0 until iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](dim))

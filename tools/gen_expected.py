@@ -604,3 +604,69 @@ pq.write_table(pa.table({
 }), f"{OUT}/ann_lsh.parquet")
 print(f"wrote {OUT}/embed_neardup_lsh.parquet ({len(el_rows)}), "
       f"ann_lsh.parquet ({len(top)})")
+
+# --- q_ann_ivf expected: Ann.kmeansCentroids + ivfIndex + ivfTopK twin
+def vec_hash(v):  # Ann.vecHash: splitmix64 over quantized elements
+    h = 0x9e3779b97f4a7c15
+    for x in v:
+        t = (h ^ (math.floor(x * 1000) & ((1 << 64) - 1))) & ((1 << 64) - 1)
+        t = ((t ^ (t >> 30)) * 0xbf58476d1ce4e5b9) & ((1 << 64) - 1)
+        t = ((t ^ (t >> 27)) * 0x94d049bb133111eb) & ((1 << 64) - 1)
+        h = t ^ (t >> 31)
+    return h
+
+def dist2(v, c):
+    d = 0.0
+    for j in range(len(v)):
+        x = v[j] - c[j]
+        d += x * x
+    return d
+
+def nearest(v, cents):
+    best = 0
+    bd = float('inf')
+    for ci, c in enumerate(cents):
+        d = dist2(v, c)
+        if d < bd:
+            bd = d
+            best = ci
+    return best
+
+def java_pmod(s, m):  # Spark pmod on a signed Long
+    r = abs(s) % m
+    if s < 0:
+        r = -r
+    return (r + m) % m
+
+rest = {v: e for v, e in evecs.items() if v != 0}
+mod = max(1, len(rest) // (2 * 4096))
+picked = [e for e in rest.values()
+          if java_pmod(to_s64(vec_hash(e)), mod) == 0]
+picked.sort(key=lambda e: to_s64(vec_hash(e)))
+if len(picked) > 4096:
+    picked = [picked[(i * len(picked)) // 4096] for i in range(4096)]
+K = 16
+# deterministic init: evenly strided points of the hash-ordered sample
+cents = [list(picked[(i * len(picked)) // K]) for i in range(K)]
+for _ in range(10):
+    sums = [[0.0] * DIM for _ in range(K)]
+    cnt = [0] * K
+    for v in picked:
+        c = nearest(v, cents)
+        cnt[c] += 1
+        for j in range(DIM):
+            sums[c][j] += v[j]
+    cents = [cents[c] if cnt[c] == 0 else
+             [float(np.float32(sums[c][j] / cnt[c])) for j in range(DIM)]
+             for c in range(K)]
+order = sorted(range(K), key=lambda i: dist2(qv, cents[i]))[:4]
+probe = set(order)
+iv_cands = [(v, cosine(e, qv)) for v, e in rest.items()
+            if nearest(e, cents) in probe]
+iv_cands.sort(key=lambda p: (-p[1], p[0]))
+iv_top = iv_cands[:10]
+pq.write_table(pa.table({
+    "vec_id": pa.array([v for v, _ in iv_top], pa.int64()),
+    "score": pa.array([s for _, s in iv_top], pa.float64()),
+}), f"{OUT}/ann_ivf.parquet")
+print(f"wrote {OUT}/ann_ivf.parquet ({len(iv_top)})")
