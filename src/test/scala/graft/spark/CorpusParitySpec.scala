@@ -34,6 +34,17 @@ class CorpusParitySpec extends AnyFunSuite {
     }
   }
 
+  test("flagship pipeline matches the CPython end-to-end twin per url") {
+    for ((q, exp) <- Seq("q_pipeline" -> "pipeline",
+      "q_pipeline_dedup" -> "pipeline_dedup")) {
+      val want = spark.read.parquet(s"$golden/$exp.parquet")
+      val cols = want.columns.map(col).toSeq
+      val got = SparkEntry.queries(q)(spark, dir).select(cols: _*)
+      assert(got.count() == want.count(), q)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, q)
+    }
+  }
+
   test("preview hit relation (offsets, confs, order) matches CPython") {
     val got = SparkEntry.queries("q_preview")(spark, dir)
       .select(col("doc_id"), col("pos"), col("kind"), col("text"),
