@@ -532,9 +532,12 @@ object SparkEntry {
       " UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM ddocs)" +
       ", f AS (SELECT md5(line) AS h, min(doc_id * 100000 + line_no) AS k" +
       " FROM l WHERE length(line) >= 10 GROUP BY 1)" +
-      " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text" +
+      ", r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text" +
       " FROM l LEFT JOIN f ON length(line) >= 10 AND md5(line) = f.h" +
-      " WHERE f.h IS NULL OR doc_id * 100000 + line_no = f.k GROUP BY doc_id"),
+      " WHERE f.h IS NULL OR doc_id * 100000 + line_no = f.k GROUP BY doc_id)" +
+      // docs whose every line was deduped survive with empty text
+      " SELECT d.doc_id, COALESCE(r.text, '') AS text" +
+      " FROM (SELECT DISTINCT doc_id FROM ddocs) d LEFT JOIN r USING (doc_id)"),
 
     // blocked iff host in {h3,h17}.example.test (any subdomain, via the
     // parent-domain walk) or the exact ads.h22.example.test host
@@ -725,5 +728,13 @@ object SparkEntry {
 
   )
 
-  private val GoldenDir = "/root/repo/src/test/resources/golden"
+  /** Expected-parquet root for the CPython-twin oracles. Resolved to an
+    * ABSOLUTE path at query-build time (the oracle SQL is executed by the
+    * driver's DuckDB from an unknown cwd): working-dir-relative when run
+    * from a checkout, env override for anything else. */
+  private val GoldenDir: String = sys.env.get("GRAFT_GOLDEN_DIR").getOrElse {
+    val rel = new java.io.File("src/test/resources/golden")
+    if (rel.isDirectory) rel.getAbsolutePath
+    else "/root/repo/src/test/resources/golden"
+  }
 }

@@ -19,6 +19,7 @@ object Detect {
                    reason: String, out: VectorBuilder[Hit]): Unit = {
     val m = Scrub.matcherFor(pat, text) // thread-confined matcher reuse
     while (m.find()) out += Hit(kind, m.group(), m.start(), m.end(), conf, reason)
+    Scrub.release(m)
   }
 
   // one cheap scan prunes whole pattern families (same trigger logic as

@@ -81,21 +81,26 @@ object Ann {
   def signature(emb: Column, planes: Array[Array[Float]]): Column =
     signatureUdf(planes)(emb)
 
-  def signatureUdf(planes: Array[Array[Float]]) =
-    org.apache.spark.sql.functions.udf { (v: Array[Float]) =>
-      var s = 0L
-      var i = 0
-      while (i < planes.length) {
-        val p = planes(i)
-        var d = 0.0
-        var j = 0
-        val n = math.min(p.length, v.length)
-        while (j < n) { d += p(j).toDouble * v(j); j += 1 }
-        if (d >= 0) s |= (1L << i)
-        i += 1
-      }
-      s
+  /** One primitive-loop signature computation, shared by every consumer
+    * (bucketing UDF, candidate predicate, driver-side query signatures) —
+    * and mirrored bit-for-bit by the CPython oracle twin. */
+  def signatureOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var d = 0.0
+      var j = 0
+      val n = math.min(p.length, v.length)
+      while (j < n) { d += p(j).toDouble * v(j); j += 1 }
+      if (d >= 0) s |= (1L << i)
+      i += 1
     }
+    s
+  }
+
+  def signatureUdf(planes: Array[Array[Float]]) =
+    org.apache.spark.sql.functions.udf((v: Array[Float]) => signatureOf(v, planes))
 
   /** Engine-independent content hash of a vector: splitmix64 chained over
     * the integer-quantized elements (floor(x·1000)) — deterministic,
@@ -134,9 +139,12 @@ object Ann {
     val picked = df.select(col(embCol))
       .where(pmod(hashUdf(col(embCol)), lit(mod)) === 0)
       .collect().map(_.getSeq[Float](0).toArray)
-      // collect order is partition order — sort by content hash so the
+      // collect order is partition order — sort by content hash (tie-broken
+      // by the quantized vector itself: distinct vectors with identical
+      // quantization would otherwise keep partition-dependent order) so the
       // centroids are identical for any partition layout / parallelism
-      .sortBy(vecHash)
+      .sortBy(v => (vecHash(v),
+        v.map(x => math.floor(x.toDouble * 1000).toLong).mkString(",")))
     val sample =
       if (picked.length <= sampleN) picked
       else Array.tabulate(sampleN)(i => picked((i.toLong * picked.length / sampleN).toInt))
@@ -222,16 +230,7 @@ object Ann {
               tables: Int = 3, seed: Long = 42L): DataFrame = {
     val dim = query.length
     val allPlanes = (0 until tables).map(t => hyperplanes(nBits, dim, seed + t * 7919L))
-    val qSig: Array[Long] = allPlanes.map { planes =>
-      var s = 0L
-      planes.zipWithIndex.foreach { case (p, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < dim) { d += p(j).toDouble * query(j); j += 1 }
-        if (d >= 0) s |= (1L << i)
-      }
-      s
-    }.toArray
+    val qSig: Array[Long] = allPlanes.map(signatureOf(query, _)).toArray
     // one primitive-loop UDF across all tables, short-circuiting on the
     // first table that admits the row — the scan stays in one codegen stage
     // with a single non-codegen leaf instead of `tables` interpreted trees
@@ -240,19 +239,7 @@ object Ann {
       var t = 0
       var cand = false
       while (!cand && t < planesArr.length) {
-        val planes = planesArr(t)
-        var s = 0L
-        var i = 0
-        while (i < planes.length) {
-          val p = planes(i)
-          var d = 0.0
-          var j = 0
-          val n = math.min(p.length, v.length)
-          while (j < n) { d += p(j).toDouble * v(j); j += 1 }
-          if (d >= 0) s |= (1L << i)
-          i += 1
-        }
-        cand = java.lang.Long.bitCount(s ^ qSig(t)) <= 2
+        cand = java.lang.Long.bitCount(signatureOf(v, planesArr(t)) ^ qSig(t)) <= 2
         t += 1
       }
       cand

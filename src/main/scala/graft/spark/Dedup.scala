@@ -159,23 +159,47 @@ object Dedup {
     * exact [[embeddingNearDups]]. nBits grows with log2(N) at scale. */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
                            minDotQ: Long, nBits: Int = 10, tables: Int = 6,
-                           seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    val dim = df.select(col(embCol)).head().getSeq[Float](0).length
+                           seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    val head = df.select(col(embCol)).take(1)
+    if (head.isEmpty)
+      return df.sparkSession.range(0)
+        .select(col("id").as("a"), col("id").as("b"), col("id").as("dot_q"))
+    val dim = head(0).getSeq[Float](0).length
+
+    // mass-duplicate guard (same contract as minHashLsh): identical
+    // embeddings share every table signature, so k exact copies would make
+    // k²/2 bucket pairs — exact-collapse to a min-id representative first
+    // (map-side combine, duplicate vectors never enter the shuffle twice)
+    // and emit linear (rep, copy, selfDot) star arcs
+    val reps = df.groupBy(col(embCol).as("e"))
+      .agg(min(col(idCol)).as("rep"))
+    val dupArcs = df.select(col(idCol).as("id"), col(embCol).as("e"))
+      .join(reps, "e")
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"),
+        Ann.dotQuantized(col("e"), col("e")).as("dot_q"))
+      .where(col("dot_q") >= minDotQ)
+
+    val distinctVecs = reps.select(col("rep").as("id"), col("e"))
     val sigCols = (0 until tables).map { t =>
       struct(lit(t).as("t"),
-        Ann.signature(col(embCol), Ann.hyperplanes(nBits, dim, seed + t * 7919L))
+        Ann.signature(col("e"), Ann.hyperplanes(nBits, dim, seed + t * 7919L))
           .as("sig"))
     }
-    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("e"),
+    val bucketed = distinctVecs.select(col("id"), col("e"),
       explode(array(sigCols: _*)).as("ts"))
       .select(col("id"), col("e"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val l = bucketed.select(col("t"), col("sig"), col("id").as("a"), col("e").as("ea"))
-    val r = bucketed.select(col("t"), col("sig"), col("id").as("b"), col("e").as("eb"))
+    // bucket-population backstop for near-identical-but-distinct floods
+    val okBuckets = bucketed.groupBy("t", "sig").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket).select("t", "sig")
+    val kept = bucketed.join(okBuckets, Seq("t", "sig"), "left_semi")
+    val l = kept.select(col("t"), col("sig"), col("id").as("a"), col("e").as("ea"))
+    val r = kept.select(col("t"), col("sig"), col("id").as("b"), col("e").as("eb"))
     l.join(r, Seq("t", "sig"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), Ann.dotQuantized(col("ea"), col("eb")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
       .groupBy(col("a"), col("b")).agg(max("dot_q").as("dot_q"))
+      .unionByName(dupArcs)
   }
 }

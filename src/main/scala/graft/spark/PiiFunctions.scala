@@ -67,42 +67,17 @@ object PiiFunctions {
 
   def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel],
                     scrubMode: String = "dict", keyB64: String = "",
-                    ns: String = "", policiesCsv: String = "") = {
-    // reference per-request `policies` (app/main.py:379): restrict the
-    // pattern unions to those aliasing as an enabled kind; empty = all
-    def withPolicy(names: Seq[String]): Seq[String] =
-      if (policiesCsv.isEmpty) names
-      else {
-        val set = policiesCsv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        names.filter(n => set.contains(Scrub.kindOf(n)))
-      }
+                    ns: String = "", policiesCsv: String = "") =
     udf { (text: String) =>
       val t = if (text == null) "" else text
       val (l, c) = lang.value.classify(t)
       val p = ppl.value.perplexity(t)
       val m = Quality.metrics(t)
-      val d = scrubMode match {
-        case "dict" => Scrub.scrubDict(t, withPolicy(Scrub.FullOrder))
-        case "tags" =>
-          val counts = scala.collection.mutable.Map.empty[String, Long]
-          val s = Scrub.scrub(t, withPolicy(Scrub.FullOrder), { (k, _) =>
-            counts.update(k, counts.getOrElse(k, 0L) + 1L)
-            "<" + k.toUpperCase + ">"
-          })
-          Scrub.DictResult(s, Map.empty, counts.toMap)
-        case "ref" => // reference HMAC aliases over the reference union
-          val counts = scala.collection.mutable.Map.empty[String, Long]
-          val dict = scala.collection.mutable.Map.empty[String, String]
-          val s = Scrub.scrub(t, withPolicy(Scrub.ReferenceOrder), { (k, orig) =>
-            counts.update(k, counts.getOrElse(k, 0L) + 1L)
-            dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
-          })
-          Scrub.DictResult(s, dict.toMap, counts.toMap)
-        case other => sys.error(s"unknown scrub mode: $other")
-      }
+      // shared dispatch with the native expression (Scrub.scrubWithMode);
+      // policy filtering is cached there — never per-row work
+      val d = Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
       PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts)
     }
-  }
 
   /** Language ID with an explicitly broadcast model. */
   def langIdUdf(model: Broadcast[LangIdModel]) =

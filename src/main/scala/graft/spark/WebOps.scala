@@ -36,13 +36,19 @@ object WebOps {
     val firsts = withH.where(col("h").isNotNull)
       .groupBy("h")
       .agg(min(struct(col(idCol).as("id"), col("line_no").as("ln"))).as("first"))
-    withH.join(firsts, Seq("h"), "left")
+    val reassembled = withH.join(firsts, Seq("h"), "left")
       .where(col("h").isNull ||
         (col("first.id") === col(idCol) && col("first.ln") === col("line_no")))
       .groupBy(col(idCol))
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x("line"))).as(textCol))
+    // C4 semantics drop LINES, never documents: a doc whose every line was
+    // a non-first duplicate survives with empty text instead of vanishing
+    // (downstream joins by id must not lose rows)
+    df.select(col(idCol)).distinct()
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
   /** Host of a url (scheme-independent). */

@@ -69,31 +69,9 @@ object ExprHelpers {
     val (l, c) = LangId.default.classify(t)
     val p = Perplexity.default.perplexity(t)
     val m = Quality.metrics(t)
-    def withPolicy(names: Seq[String]): Seq[String] =
-      if (policiesCsv.isEmpty) names
-      else {
-        val set = policiesCsv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        names.filter(n => set.contains(Scrub.kindOf(n)))
-      }
-    val d = mode match {
-      case "dict" => Scrub.scrubDict(t, withPolicy(Scrub.FullOrder))
-      case "tags" =>
-        val counts = scala.collection.mutable.Map.empty[String, Long]
-        val s = Scrub.scrub(t, withPolicy(Scrub.FullOrder), { (k, _) =>
-          counts.update(k, counts.getOrElse(k, 0L) + 1L)
-          "<" + k.toUpperCase + ">"
-        })
-        Scrub.DictResult(s, Map.empty, counts.toMap)
-      case "ref" =>
-        val counts = scala.collection.mutable.Map.empty[String, Long]
-        val dict = scala.collection.mutable.Map.empty[String, String]
-        val s = Scrub.scrub(t, withPolicy(Scrub.ReferenceOrder), { (k, orig) =>
-          counts.update(k, counts.getOrElse(k, 0L) + 1L)
-          dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
-        })
-        Scrub.DictResult(s, dict.toMap, counts.toMap)
-      case other => sys.error(s"unknown scrub mode: $other")
-    }
+    // ONE shared scrub dispatch (Scrub.scrubWithMode) — the UDF path calls
+    // the same function, so the two paths cannot drift
+    val d = Scrub.scrubWithMode(mode, t, keyB64, ns, policiesCsv)
     val q = new GenericInternalRow(Array[Any](
       m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
       m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
@@ -105,25 +83,40 @@ object ExprHelpers {
 
 /** `page_stages(text, mode, key_b64, ns[, policies_csv])` — the whole fused
   * pipeline stage (langid + perplexity + quality metrics + scrub) as ONE
-  * native expression emitting the result struct directly as an InternalRow. */
+  * native expression emitting the result struct directly as an InternalRow.
+  *
+  * NOT null-intolerant: a null text scores as "" (and is then dropped as
+  * too_short by the rule chain), exactly like the broadcast-UDF path — the
+  * default UnaryExpression null-propagation would instead emit a null
+  * struct, whose nulls fall through every `when()` in the keep/drop chain
+  * and KEEP the corrupt row. */
 case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
                           ns: String, policiesCsv: String = "")
     extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+
   override def dataType: DataType = PageStagesExpr.schema
+  override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"page_stages requires a string argument, got ${child.dataType.catalogString}")
-  override def nullSafeEval(input: Any): Any =
-    ExprHelpers.pageStages(input.asInstanceOf[UTF8String], mode, keyB64, ns,
-      policiesCsv)
+  override def eval(input: InternalRow): Any =
+    ExprHelpers.pageStages(
+      child.eval(input).asInstanceOf[UTF8String], mode, keyB64, ns, policiesCsv)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val modeRef = ctx.addReferenceObj("mode", mode, "java.lang.String")
     val keyRef = ctx.addReferenceObj("keyB64", keyB64, "java.lang.String")
     val nsRef = ctx.addReferenceObj("ns", ns, "java.lang.String")
     val polRef = ctx.addReferenceObj("policiesCsv", policiesCsv, "java.lang.String")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.spark.expressions.ExprHelpers.pageStages($c, $modeRef, $keyRef, $nsRef, $polRef)")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = graft.spark.expressions.ExprHelpers.pageStages(
+          ${c.isNull} ? null : ${c.value}, $modeRef, $keyRef, $nsRef, $polRef);""",
+      isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): PageStagesExpr =
     copy(child = newChild)

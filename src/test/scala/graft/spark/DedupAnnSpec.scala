@@ -122,6 +122,18 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(plantedCaught >= 0.85, s"planted recall $plantedCaught")
   }
 
+  test("embedding LSH: 10k identical vectors yield k-1 star arcs; empty input is empty") {
+    import spark.implicits._
+    val vec = Array.fill(8)(0.5f)
+    val copies = (0L until 10000L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupsLsh(copies, "vec_id", "embedding",
+      minDotQ = 1L, nBits = 6, tables = 2).collect()
+    assert(out.length == 9999, s"expected 9999 arcs, got ${out.length}")
+    assert(out.forall(_.getLong(0) == 0L))
+    val empty = copies.where(lit(false))
+    assert(Dedup.embeddingNearDupsLsh(empty, "vec_id", "embedding", 1L).count() == 0)
+  }
+
   test("LSH ANN top-10 recall >= 0.7 vs brute force") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray

@@ -79,6 +79,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.collect().length == 500)
   }
 
+  test("page_stages on null text agrees with the UDF path (drops as too_short)") {
+    import spark.implicits._
+    val df = Seq[(String, java.sql.Timestamp, Array[Byte], String, String)](
+      ("https://a.example/null", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        null, "en"),
+      ("https://a.example/ok", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        "the quick brown fox is on the mat and the dog is in the park today", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    for (native <- Seq(true, false)) {
+      val out = Pipeline.run(spark, df, Pipeline.Conf(nativeStages = native))
+        .select("url", "keep", "drop_reason", "scrubbed_text")
+        .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2)))
+        .toMap
+      assert(out("https://a.example/null") == (false, "too_short"),
+        s"native=$native: ${out("https://a.example/null")}")
+      assert(out("https://a.example/ok")._1, s"native=$native")
+    }
+  }
+
   test("null handling: expression yields null on null input") {
     import spark.implicits._
     val got = Seq[(java.lang.Long, String)]((1L, null), (2L, "a@b.cc x"))

@@ -13,7 +13,8 @@ class WebOpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "unique first line here\nshared boilerplate footer line\nok"),
       (2L, "another unique opening\nshared boilerplate footer line\nok"),
-      (3L, "shared boilerplate footer line\nthird doc body text here"))
+      (3L, "shared boilerplate footer line\nthird doc body text here"),
+      (4L, "shared boilerplate footer line"))
       .toDF("doc_id", "text")
     val out = WebOps.dedupLinesAcrossCorpus(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -21,6 +22,8 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out(1L) == "unique first line here\nshared boilerplate footer line\nok")
     assert(out(2L) == "another unique opening\nok") // footer dropped, "ok" (<10) kept
     assert(out(3L) == "third doc body text here")
+    // lines drop, documents never do: all-duplicate doc survives empty
+    assert(out.contains(4L) && out(4L) == "")
   }
 
   test("line dedup is deterministic under repartitioning") {

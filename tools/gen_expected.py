@@ -186,107 +186,13 @@ print(f"wrote {OUT}/ner_model.parquet ({ner_rows})")
 # LangIdModel.classify / PerplexityModel.perplexity. Java char semantics are
 # replicated explicitly (Character.isWhitespace excludes NBSP-family;
 # toLowerCase is the simple one-char mapping — take lower()[0]).
-import struct, unicodedata
-
-def java_lower(c):
-    lc = c.lower()
-    return lc[0] if lc else c
-
-def is_java_ws(c):
-    if c in '\t\n\x0b\f\r\x1c\x1d\x1e\x1f':
-        return True
-    if c in '\xa0  ':
-        return False
-    return unicodedata.category(c) in ('Zs', 'Zl', 'Zp')
+# shared Java-char-semantics + model-scoring twins live in twin_lib.py
+# (single source of truth with gen_expected_pipeline.py)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from twin_lib import (java_lower, is_java_ws, read_ppl, perplexity,
+                      read_langid, classify)
 
 RES = "src/main/resources/graft"
-
-def read_ppl(path):
-    b = open(path, 'rb').read()
-    a = struct.unpack('>i', b[:4])[0]
-    return a, struct.unpack(f'>{a*a*a}f', b[4:])
-
-def ppl_sym(c):
-    lc = java_lower(c)
-    o = ord(lc)
-    if 97 <= o <= 122: return o - 97
-    if 48 <= o <= 57: return 26 + (o - 48)
-    return 36 if is_java_ws(lc) else 37
-
-def perplexity(lp, text, A=38, max_ppl=1e6):
-    lim = min(len(text), 8192)
-    if lim == 0:
-        return max_ppl
-    c2 = c1 = 36
-    s = 0.0
-    for i in range(lim):
-        c0 = ppl_sym(text[i])
-        s += lp[(c2 * A + c1) * A + c0]
-        c2, c1 = c1, c0
-    return min(math.exp(-s / lim), max_ppl)
-
-def read_langid(path):
-    b = open(path, 'rb')
-    nl = struct.unpack('>i', b.read(4))[0]
-    langs = []
-    for _ in range(nl):
-        ln = struct.unpack('>i', b.read(4))[0]
-        langs.append(b.read(ln).decode('utf-8'))
-    ng = struct.unpack('>i', b.read(4))[0]
-    keys = struct.unpack(f'>{ng}q', b.read(8 * ng))
-    probs = struct.unpack(f'>{ng*nl}d', b.read(8 * ng * nl))
-    dflt = struct.unpack(f'>{nl}d', b.read(8 * nl))
-    return langs, {k: r for r, k in enumerate(keys)}, probs, dflt
-
-def normalize(text):
-    out = [' ']
-    last_space = True
-    for ch in text[:4096]:
-        c = java_lower(ch)
-        if is_java_ws(c):
-            if not last_space:
-                out.append(' ')
-                last_space = True
-        else:
-            out.append(c)
-            last_space = False
-    out.append(' ')
-    return ''.join(out)
-
-def classify(model, text):
-    langs, keymap, probs, dflt = model
-    t = normalize(text)
-    nl = len(langs)
-    scores = [0.0] * nl
-    n = 0
-    L = len(t)
-    for pos in range(L):
-        for ln in (1, 2, 3):
-            if pos + ln > L:
-                break
-            key = ln << 48
-            for j in range(ln):
-                key |= ord(t[pos + j]) << (j * 16)
-            row = keymap.get(key, -1)
-            if row >= 0:
-                off = row * nl
-                for i in range(nl):
-                    scores[i] += probs[off + i]
-            else:
-                for i in range(nl):
-                    scores[i] += dflt[i]
-            n += 1
-    if n == 0:
-        return "und", 0.0
-    best = 0
-    for i in range(1, nl):
-        if scores[i] > scores[best]:
-            best = i
-    mx = scores[best] / n
-    z = 0.0
-    for i in range(nl):
-        z += math.exp(scores[i] / n - mx)
-    return langs[best], 1.0 / z
 
 lid = read_langid(f"{RES}/langid.bin")
 lid_rows = [(d, *classify(lid, t)) for d, t in rows]
@@ -296,14 +202,14 @@ pq.write_table(pa.table({
     "conf_milli": pa.array([math.floor(r[2] * 1000) for r in lid_rows], pa.int64()),
 }), f"{OUT}/langid.parquet")
 
-ppl_en = read_ppl(f"{RES}/ppl_en.lm")[1]
+ppl_en = read_ppl(f"{RES}/ppl_en.lm")
 ppl_rows = [(d, math.floor(perplexity(ppl_en, t) * 100)) for d, t in rows]
 pq.write_table(pa.table({
     "doc_id": pa.array([r[0] for r in ppl_rows], pa.int64()),
     "ppl_centi": pa.array([r[1] for r in ppl_rows], pa.int64()),
 }), f"{OUT}/ppl.parquet")
 
-bank = {l: read_ppl(f"{RES}/ppl_{l}.lm")[1] for l in ("en", "es", "de", "fr")}
+bank = {l: read_ppl(f"{RES}/ppl_{l}.lm") for l in ("en", "es", "de", "fr")}
 lang_col = dict(duckdb.sql(
     f"SELECT doc_id, lang FROM '{SF_DIR}/documents.parquet'").fetchall())
 pl_rows = [(d, lang_col[d],
@@ -379,11 +285,7 @@ def hash64(s):  # TextDedup.hash64: two seeded murmur32s
     h2 = scala_string_hash(s, 0x85ebca6b) & M32
     return ((h1 << 32) | h2) & ((1 << 64) - 1)
 
-def splitmix(x0):
-    x = (x0 + 0x9e3779b97f4a7c15) & ((1 << 64) - 1)
-    x = ((x ^ (x >> 30)) * 0xbf58476d1ce4e5b9) & ((1 << 64) - 1)
-    x = ((x ^ (x >> 27)) * 0x94d049bb133111eb) & ((1 << 64) - 1)
-    return x ^ (x >> 31)
+from twin_lib import splitmix64 as splitmix
 
 HASH_A = [splitmix(i * 2 + 1) | 1 for i in range(256)]
 HASH_B = [splitmix(0x5151 + i) for i in range(256)]
@@ -548,18 +450,34 @@ for v, e in evecs.items():
         # column, so the sin argument is i + v + 2_000_000
         aug[nid] = [float(np.float32(x * 0.98 + 0.02 * math.sin(i + nid + 1000000)))
                     for i, x in enumerate(e)]
+# exact-collapse twin (Dedup.embeddingNearDupsLsh): identical vectors →
+# min-id representative + (rep, copy, selfDot) star arcs; buckets see
+# only distinct vectors (no-op on this corpus, semantics mirrored)
 el_pairs = {}
+by_vec = {}
+for v, e in aug.items():
+    by_vec.setdefault(tuple(e), []).append(v)
+el_reps = {}
+for vec, ids in by_vec.items():
+    rep = min(ids)
+    el_reps[rep] = list(vec)
+    sd = dot_q(vec, vec)
+    for i in ids:
+        if i != rep and sd >= 900000:
+            el_pairs[(rep, i)] = sd
 for t in range(6):
     planes = hyperplanes(10, DIM, 42 + t * 7919)
     bk = {}
-    for v, e in aug.items():
+    for v, e in el_reps.items():
         bk.setdefault(signature(e, planes), []).append(v)
     for ids in bk.values():
+        if len(ids) > 4096:
+            continue
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a, b = ids[i], ids[j]
-                d = dot_q(aug[a], aug[b])
+                d = dot_q(el_reps[a], el_reps[b])
                 if d >= 900000:
                     el_pairs[(a, b)] = max(el_pairs.get((a, b), d), d)
 el_rows = sorted(el_pairs.items())
@@ -642,7 +560,8 @@ rest = {v: e for v, e in evecs.items() if v != 0}
 mod = max(1, len(rest) // (2 * 4096))
 picked = [e for e in rest.values()
           if java_pmod(to_s64(vec_hash(e)), mod) == 0]
-picked.sort(key=lambda e: to_s64(vec_hash(e)))
+picked.sort(key=lambda e: (to_s64(vec_hash(e)),
+                           ",".join(str(math.floor(x * 1000)) for x in e)))
 if len(picked) > 4096:
     picked = [picked[(i * len(picked)) // 4096] for i in range(4096)]
 K = 16
