@@ -13,6 +13,10 @@ import scala.collection.mutable
   */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
 
+  // an empty pattern would register on the ROOT's output list and emit
+  // position-dependent phantom matches — reject it outright
+  require(patterns.forall(_.nonEmpty), "empty pattern in dictionary")
+
   // trie over chars; children as per-node hash maps (dictionary is built
   // once per executor — build cost is irrelevant next to scan cost)
   private val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])

@@ -123,7 +123,8 @@ object Ann {
     * at cluster scale the sample comes from `df.sample` + `limit`, which is
     * exactly what this does. */
   def kmeansCentroids(df: DataFrame, embCol: String, k: Int, iters: Int = 10,
-                      sampleN: Int = 4096, seed: Long = 42L): Array[Array[Float]] = {
+                      sampleN: Int = 4096, seed: Long = 42L,
+                      rowEstimate: Long = -1L): Array[Array[Float]] = {
     // UNIFORM sample — a bare limit(sampleN) takes the first partitions in
     // file order, biasing centroids to the head of the table. Instead:
     // hash-mod filter (layout-independent, uniform over the whole table,
@@ -132,7 +133,10 @@ object Ann {
     // The hash is [[vecHash]] (splitmix over the quantized vector), NOT
     // Spark's internal hash(): an engine-independent function, so the
     // CPython oracle twin reproduces the centroids exactly.
-    val n = df.count()
+    // callers that already know (or can bound) the row count pass it via
+    // `rowEstimate` and save this extra full-table job — only the sampling
+    // FRACTION depends on it, so an estimate is fine
+    val n = if (rowEstimate > 0) rowEstimate else df.count()
     val mod = math.max(1L, n / (2L * sampleN))
     val hashUdf = org.apache.spark.sql.functions.udf(
       (v: Array[Float]) => vecHash(v))

@@ -85,13 +85,20 @@ object IcebergishSink {
       keepRows: Long,
       createdMs: Long)
 
+  /** `Files.list` streams hold a directory fd until closed — mandatory
+    * try/finally on every use (these are polling-shaped APIs). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
+
   /** All snapshot manifests under `out`, oldest first. */
   def listSnapshots(out: String): Seq[SnapshotInfo] = {
     val dir = Paths.get(out, "_snapshots")
     if (!Files.isDirectory(dir)) return Seq.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    listDir(dir)
+      .filter(_.getFileName.toString.endsWith(".json"))
       .map { p =>
         val n = mapper.readTree(Files.readString(p))
         val buckets = (0 until n.get("buckets").size()).map(i =>
@@ -123,7 +130,7 @@ object IcebergishSink {
   def completedBuckets(out: String): Set[Int] = {
     val dir = ledgerDir(out)
     if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator.asScala
+    listDir(dir).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
         s.stripPrefix("bucket-").stripSuffix(".json").toInt
@@ -134,8 +141,8 @@ object IcebergishSink {
     val dir = ledgerDir(out)
     if (!Files.isDirectory(dir)) return Seq.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.startsWith("bucket-")).toSeq
+    listDir(dir)
+      .filter(_.getFileName.toString.startsWith("bucket-"))
       .map { p =>
         val n = mapper.readTree(Files.readString(p))
         BucketLineage(n.get("bucket").asInt, n.get("rows").asLong,
@@ -155,7 +162,9 @@ object IcebergishSink {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      try s.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
 
   /** Write to `out`, skipping committed buckets, committing the rest. One

@@ -59,11 +59,12 @@ object Multimodal {
     import spark.implicits._
     bin.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val kind = Vector("image", "audio", "video")((id % 3).toInt)
+        // floorMod: total over negative ids too (% would index/size negative)
+        val kind = Vector("image", "audio", "video")(java.lang.Math.floorMod(id, 3L).toInt)
         MediaRow(id, bytes, MediaMeta(kind,
-          width = (320 + (id * 37) % 1700).toInt,
-          height = (240 + (id * 53) % 900).toInt,
-          durationMs = if (kind == "image") 0L else 1000L + (id * 97) % 60000,
+          width = (320 + java.lang.Math.floorMod(id * 37, 1700L)).toInt,
+          height = (240 + java.lang.Math.floorMod(id * 53, 900L)).toInt,
+          durationMs = if (kind == "image") 0L else 1000L + java.lang.Math.floorMod(id * 97, 60000L),
           codec = if (kind == "image") "png" else "opus"))
       }
   }

@@ -58,12 +58,18 @@ object WebOps {
     * domain is in the broadcast blocklist (so `ads.example.com` is blocked
     * by an `example.com` entry). A UT1-scale list (millions of domains)
     * stays a broadcast hash set — a join would shuffle the corpus by host.
-    */
+    * The authority is NORMALIZED first (userinfo/port stripped, lowercased):
+    * `https://BAD.example:443/` must not bypass a `bad.example` entry. */
   def blockedUdf(list: Broadcast[Set[String]]) =
-    org.apache.spark.sql.functions.udf { (host: String) =>
-      if (host == null) false
+    org.apache.spark.sql.functions.udf { (host0: String) =>
+      if (host0 == null) false
       else {
-        var h = host
+        var h = host0
+        val at = h.lastIndexOf('@')
+        if (at >= 0) h = h.substring(at + 1)
+        val colon = h.indexOf(':')
+        if (colon >= 0) h = h.substring(0, colon)
+        h = h.toLowerCase
         var blocked = list.value.contains(h)
         var dot = h.indexOf('.')
         while (!blocked && dot >= 0) {

@@ -55,10 +55,6 @@ object ExprHelpers {
     * JVM-lazy defaults — built once per executor from code, which is the
     * broadcast-equivalent for in-code models (a file-loaded model must use
     * the broadcast UDF variant instead). */
-  def pageStages(text: UTF8String, mode: String, keyB64: String,
-                 ns: String): InternalRow =
-    pageStages(text, mode, keyB64, ns, "")
-
   /** `policiesCsv`: comma-separated hit KINDS to scrub (the reference's
     * per-request `policies` form field, app/main.py:379); empty = all.
     * Pattern lists are filtered by the kind each pattern aliases as
@@ -219,9 +215,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64Expr(args.head)),
     ("page_stages", info("page_stages",
       "_FUNC_(text, mode, key_b64, ns[, policies_csv]) - fused langid+perplexity+quality+scrub struct"),
-      (args: Seq[Expression]) => PageStagesExpr(args.head,
-        args(1).eval().toString, args(2).eval().toString, args(3).eval().toString,
-        if (args.length > 4) args(4).eval().toString else "")))
+      (args: Seq[Expression]) => {
+        def litStr(i: Int, name: String): String = {
+          val e = args(i)
+          require(e.foldable, s"page_stages: $name must be a string literal")
+          val v = e.eval()
+          require(v != null, s"page_stages: $name must not be null")
+          v.toString
+        }
+        PageStagesExpr(args.head, litStr(1, "mode"), litStr(2, "key_b64"),
+          litStr(3, "ns"), if (args.length > 4) litStr(4, "policies_csv") else "")
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

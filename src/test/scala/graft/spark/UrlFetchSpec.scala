@@ -20,11 +20,13 @@ class UrlFetchSpec extends AnyFunSuite {
     Files.writeString(manifest, urls.mkString("\n"))
 
     val df = spark.read.format("graft.sources.UrlFetchSource")
-      .option("manifest", manifest.toString).option("batchSize", "50").load()
+      .option("manifest", manifest.toString).option("batchSize", "10").load()
     assert(df.columns.toSeq ==
       Seq("url", "warc_ts", "html", "text", "lang"))
-    // 131 urls / 50 per batch = 3 planned fetch partitions
-    assert(df.rdd.getNumPartitions == 3)
+    // 131 urls / 10 per batch = 14 planned fetch partitions — a count the
+    // DEFAULT batch size (64 → 3) cannot produce, so a silently dropped
+    // batchSize option fails here
+    assert(df.rdd.getNumPartitions == 14)
     assert(df.count() == 131)
     // file: urls really read local content; text extraction round-trips
     val local = df.where(col("url").startsWith("file:"))

@@ -48,6 +48,9 @@ class WebOpsSpec extends AnyFunSuite {
       "https://bad.example/x",        // exact
       "https://sub.bad.example/x",    // subdomain of listed parent
       "https://deep.sub.bad.example/x",
+      "https://BAD.example/x",        // case must not bypass
+      "https://bad.example:443/x",    // explicit port must not bypass
+      "https://user@bad.example/x",   // userinfo must not bypass
       "https://ads.ok.example/x",     // exact leaf entry
       "https://ok.example/x",         // parent of a listed leaf — NOT blocked
       "https://notbad.example/x",     // lookalike suffix string — NOT blocked
