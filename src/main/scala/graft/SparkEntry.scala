@@ -224,8 +224,14 @@ object SparkEntry {
     // planted perturbed copies (cosine ≈ 0.98 — the LSH operating regime)
     "q_embed_neardup_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val near = e.where(col("vec_id") % 5 === 0).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
+      // two-step select: the shifted id is materialized FIRST so the lambda
+      // below references an unambiguous column. (Historically this was one
+      // select relying on implicit lateral-column-alias resolution — the
+      // CPython twin pins the resulting sin argument as i + vec_id + 2e6,
+      // i.e. the SHIFTED id + 1e6; keep that exact arithmetic.)
+      val shifted = e.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val near = shifted.select(col("vec_id"),
         transform(col("embedding"), (x, i) =>
           x * lit(0.98) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double") + lit(1000000.0)))
           .cast("array<float>").as("embedding"))
@@ -371,7 +377,11 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0).toArray
       val rest = e.where(col("vec_id") =!= 0)
-      val cents = Ann.kmeansCentroids(rest, "embedding", k = 16)
+      // rowEstimate from parquet footers (exact, no Spark job) — skips
+      // kmeansCentroids' full-table count(); same effective sampling mod,
+      // so the CPython-twinned centroids are unchanged
+      val cents = Ann.kmeansCentroids(rest, "embedding", k = 16,
+        rowEstimate = Ann.parquetRowCount(s, s"$dir/embeddings.parquet") - 1)
       Ann.ivfTopK(Ann.ivfIndex(rest, "embedding", cents), "vec_id",
         "embedding", cents, q, 10, nprobe = 4)
     }),

@@ -34,9 +34,14 @@ class UrlFetchSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     UrlFetchSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new UrlFetchTable(properties.get("manifest"),
-      Option(properties.get("batchSize")).map(_.toInt).getOrElse(64))
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by convention; `properties` arrives
+    // as a plain map, so normalize before lookup (.option("batchsize", ...)
+    // must not silently fall back to the default)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new UrlFetchTable(opts.get("manifest"),
+      Option(opts.get("batchSize")).map(_.toInt).getOrElse(64))
+  }
 }
 
 object UrlFetchSource {

@@ -118,6 +118,31 @@ object Ann {
     h
   }
 
+  /** Exact row count of a parquet file/directory from file FOOTERS only —
+    * a driver-side metadata read, NO Spark job. Feeds
+    * [[kmeansCentroids]]'s `rowEstimate` so the sampling fraction is known
+    * without the full-table count() job (at 100 TB that job is a complete
+    * extra pass). Exact, so the effective sampling `mod` — and therefore
+    * the CPython-twinned centroids — are identical to the count() path. */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+      else fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    files.iterator.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
     * quantizer for IVF. The sample bound keeps the driver O(sample×dim);
     * at cluster scale the sample comes from `df.sample` + `limit`, which is

@@ -162,8 +162,11 @@ object Dedup {
                            seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val head = df.select(col(embCol)).take(1)
     if (head.isEmpty)
-      return df.sparkSession.range(0)
-        .select(col("id").as("a"), col("id").as("b"), col("id").as("dot_q"))
+      // schema of the empty result must match the non-empty branch exactly
+      // (a/b keep idCol's actual type) or a downstream unionByName/join
+      // would fail only when the input happens to be empty
+      return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
+        lit(0L).as("dot_q"))
     val dim = head(0).getSeq[Float](0).length
 
     // mass-duplicate guard (same contract as minHashLsh): identical
