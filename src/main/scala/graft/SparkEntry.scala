@@ -59,6 +59,18 @@ object SparkEntry {
       when(id % 5 === 0, lit(" 東京都")).otherwise(lit(""))))
   }
 
+  /** documents with BOTH planted PII and planted gazetteer entities — the
+    * ENHANCED-scrub corpus, where regex spans and model spans coexist and
+    * the merge has to resolve overlaps (twin: gen_expected.py planted_enh). */
+  private def docsNerPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docsPii(s, dir).withColumn("text", concat(
+      col("text"),
+      when(id % 4 === 0, lit(" 山田太郎")).otherwise(lit("")),
+      when(id % 6 === 0, lit(" Example Corp")).otherwise(lit("")),
+      when(id % 5 === 0, lit(" 東京都")).otherwise(lit(""))))
+  }
+
   /** documents with planted exact + near duplicates (mirrors `dedupCte`). */
   private def docsDedup(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
@@ -465,7 +477,26 @@ object SparkEntry {
     "q_scrub_ref" -> ((s, dir) =>
       docsPii(s, dir).select(col("doc_id"),
         PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
-          .as("scrubbed")))
+          .as("scrubbed"))),
+
+    // ENHANCED-level scrub (ops 13/14 merged into the redaction path): the
+    // fused page_stages expression with ner=true — gazetteer model hits are
+    // merged into the scrub span set and counted in n_hits. Exercised over
+    // a corpus with BOTH planted PII and planted entities so regex/model
+    // span overlap resolution is on the line. CPython twin reads the same
+    // committed gazetteer artifact (tools/gen_expected.py).
+    "q_scrub_enhanced" -> ((s, dir) => {
+      graft.spark.expressions.GraftExtensions.install(s)
+      val c = Pipeline.Conf()
+      docsNerPii(s, dir)
+        .select(col("doc_id"),
+          call_function("page_stages", col("text"), lit("dict"),
+            lit(c.keyB64), lit(c.ns), lit(""), lit("true")).as("r"))
+        .select(col("doc_id"), col("r.scrubbed").as("scrubbed"),
+          coalesce(element_at(col("r.counts"), "org"), lit(0L)).as("n_org"),
+          coalesce(element_at(col("r.counts"), "name"), lit(0L)).as("n_name"),
+          size(col("r.model_hits")).cast("long").as("n_model"))
+    })
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -700,6 +731,13 @@ object SparkEntry {
     "q_preview" ->
       ("SELECT doc_id, pos, kind, text, \"start\", \"end\", conf_centi, reason" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/preview.parquet')"),
+
+    // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
+    // gazetteer automaton hits (same committed artifact, naive all-occurrence
+    // matching), the stable (start, -len) merge and the dict aliasing
+    "q_scrub_enhanced" ->
+      ("SELECT doc_id, scrubbed, n_org, n_name, n_model FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/scrub_enhanced.parquet')"),
 
     // model-scoring twins: CPython loads the SAME committed binary model
     // artifacts (ModelIo format) and reimplements only the scoring loops

@@ -125,7 +125,9 @@ object Scrub {
 
   private val dictTag = Map(
     "email" -> "EMAIL", "phone" -> "PHONE", "amount" -> "AMOUNT",
-    "id" -> "ID", "address" -> "ADDRESS", "name" -> "PERSON")
+    "id" -> "ID", "address" -> "ADDRESS", "name" -> "PERSON",
+    // model-NER-only kinds (Hf2Pii: ORG→org, MISC→misc)
+    "org" -> "ORG", "misc" -> "MISC")
 
   /** Result of a dictionary scrub: the scrubbed text, the per-document alias
     * dictionary (original → alias, insertion-ordered by first occurrence) and
@@ -207,6 +209,103 @@ object Scrub {
       })
       DictResult(s, dict.toMap, counts.toMap)
     case other => sys.error(s"unknown scrub mode: $other")
+  }
+
+  /** The union pass of [[scrub]] as a SPAN view: same matcher, same order
+    * resolution, but hits are collected instead of replaced — the input to
+    * the ENHANCED merge path. conf/reason carry the rule-detector values
+    * only where the merge needs them (kind + offsets + text decide). */
+  def unionHits(text: String, names0: Seq[String]): Vector[Hit] = {
+    if (names0.isEmpty || text.isEmpty) return Vector.empty
+    val names = triggered(text, names0)
+    if (names.isEmpty) return Vector.empty
+    val m = matcherFor(union(names), text)
+    val out = Vector.newBuilder[Hit]
+    while (m.find()) {
+      var idx = 1
+      while (m.group(idx) == null) idx += 1
+      out += Hit(kindOf(names(idx - 1)), m.group(), m.start(), m.end(), 1.0, "regex")
+    }
+    release(m)
+    out.result()
+  }
+
+  /** ENHANCED-mode scrub core — the reference's `regex_hits.extend(ai_ner)`
+    * before redaction (app/main.py:241-245) applied to text: regex-union
+    * spans and model-NER spans are merged with [[dedupSpans]] (regex hits
+    * listed FIRST: both sorts are stable, so at an identical (start, length)
+    * the rule hit wins) and replaced in one splice. `modelHits` must carry
+    * exact offsets into `text`. */
+  def scrubMerged(text: String, names: Seq[String], modelHits: Seq[Hit],
+                  aliasFor: (String, String) => String): String = {
+    val merged = dedupSpans(unionHits(text, names) ++ modelHits)
+    if (merged.isEmpty) return text
+    val sb = new java.lang.StringBuilder(text.length + 16)
+    var last = 0
+    merged.foreach { h =>
+      sb.append(text, last, h.start)
+      sb.append(aliasFor(h.kind, h.text))
+      last = h.end
+    }
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  /** Hit KINDS enabled by a policies csv, cached like [[filteredOrder]]. */
+  private val policyKindsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  def policyKinds(policiesCsv: String): Set[String] =
+    policyKindsCache.computeIfAbsent(policiesCsv,
+      csv => csv.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+  /** [[scrubWithMode]] with model-NER hits merged in — the ENHANCED
+    * security level's scrub (merge_with_ner, app/detectors.py:100-117).
+    * Model hits pass the same per-request policy filter as the rule
+    * patterns (`hit.get("type") in policies`, app/main.py:250). Kinds the
+    * reference aliases via Faker (name/address) use [[RefAlias]]'s branches;
+    * org/misc take its fallback draw — total for every model kind. */
+  def scrubWithModeNer(mode: String, t: String, keyB64: String, ns: String,
+                       policiesCsv: String, modelHits0: Seq[Hit]): DictResult = {
+    val modelHits =
+      if (policiesCsv.isEmpty) modelHits0
+      else { val ks = policyKinds(policiesCsv); modelHits0.filter(h => ks(h.kind)) }
+    // no model hits ⇒ the merged pass degenerates to the plain union scan
+    // (find() spans are already non-overlapping) — take the rule-only path
+    if (modelHits.isEmpty) return scrubWithMode(mode, t, keyB64, ns, policiesCsv)
+    val counts = mutable.Map.empty[String, Long]
+    mode match {
+      case "dict" =>
+        val dict = mutable.LinkedHashMap.empty[String, String]
+        val perTagCounter = mutable.Map.empty[String, Int]
+        val s = scrubMerged(t, filteredOrder(FullOrder, policiesCsv), modelHits,
+          { (kind, orig) =>
+            counts.update(kind, counts.getOrElse(kind, 0L) + 1L)
+            val tag = dictTag.getOrElse(kind, "PII")
+            dict.getOrElseUpdate(tag + "\u0000" + orig, {
+              val n = perTagCounter.getOrElse(tag, 0) + 1
+              perTagCounter.update(tag, n)
+              s"<${tag}_$n>"
+            })
+          })
+        val aliases = dict.map { case (k, v) => k.substring(k.indexOf('\u0000') + 1) -> v }
+        DictResult(s, aliases.toMap, counts.toMap)
+      case "tags" =>
+        val s = scrubMerged(t, filteredOrder(FullOrder, policiesCsv), modelHits,
+          { (k, _) =>
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            "<" + k.toUpperCase + ">"
+          })
+        DictResult(s, Map.empty, counts.toMap)
+      case "ref" =>
+        val dict = mutable.Map.empty[String, String]
+        val s = scrubMerged(t, filteredOrder(ReferenceOrder, policiesCsv), modelHits,
+          { (k, orig) =>
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
+          })
+        DictResult(s, dict.toMap, counts.toMap)
+      case other => sys.error(s"unknown scrub mode: $other")
+    }
   }
 
   /** Line-scope tag scrub: the reference applies `_inline_replace_line` per

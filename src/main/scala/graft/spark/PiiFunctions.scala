@@ -63,20 +63,27 @@ object PiiFunctions {
       q: Quality.Metrics,
       scrubbed: String,
       aliases: Map[String, String],
-      counts: Map[String, Long])
+      counts: Map[String, Long],
+      model_hits: Seq[Hit])
 
   def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel],
                     scrubMode: String = "dict", keyB64: String = "",
-                    ns: String = "", policiesCsv: String = "") =
+                    ns: String = "", policiesCsv: String = "",
+                    ner: Option[Broadcast[NerSlot.NerModel]] = None) =
     udf { (text: String) =>
       val t = if (text == null) "" else text
       val (l, c) = lang.value.classify(t)
       val p = ppl.value.perplexity(t)
       val m = Quality.metrics(t)
-      // shared dispatch with the native expression (Scrub.scrubWithMode);
-      // policy filtering is cached there — never per-row work
-      val d = Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
-      PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts)
+      // ENHANCED level: model hits merged into the scrub span set; MAXIMUM:
+      // rule-only. Shared dispatch with the native expression
+      // (Scrub.scrubWithMode/-Ner) — the two paths cannot drift.
+      val modelHits: Seq[Hit] =
+        ner.map(b => NerSlot.inferOne(b, t)).getOrElse(Nil)
+      val d =
+        if (ner.isEmpty) Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
+        else Scrub.scrubWithModeNer(scrubMode, t, keyB64, ns, policiesCsv, modelHits)
+      PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts, modelHits)
     }
 
   /** Language ID with an explicitly broadcast model. */

@@ -86,12 +86,16 @@ object Pipeline {
       if (conf.nativeStages) {
         graft.spark.expressions.GraftExtensions.install(spark)
         call_function("page_stages", col("text"),
-          lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns), lit(policiesCsv))
+          lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns), lit(policiesCsv),
+          lit(conf.modelNer.toString))
       } else {
         val bLang = spark.sparkContext.broadcast(LangId.default)
         val bPpl = spark.sparkContext.broadcast(Perplexity.default)
+        val bNer =
+          if (conf.modelNer) Some(spark.sparkContext.broadcast(NerSlot.defaultModel))
+          else None
         PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
-          conf.keyB64, conf.ns, policiesCsv)(col("text"))
+          conf.keyB64, conf.ns, policiesCsv, bNer)(col("text"))
       }
 
     val withStages = pages
@@ -122,27 +126,23 @@ object Pipeline {
         .when(latin && col("ppl") > qc.maxPpl, "perplexity")
         .otherwise("")
 
-    val base = withStages
+    // model-assisted NER (ENHANCED level, main.py:241-245): the hits are
+    // computed INSIDE the fused stage (one automaton pass per row), merged
+    // into the scrubbed text + n_hits there, and surfaced as a column only
+    // when the level enables them — at MAXIMUM the field is pruned away.
+    val nerCols =
+      if (conf.modelNer) Seq(col("r.model_hits").as("model_hits")) else Seq.empty
+    withStages
       .withColumn("drop_reason", dropReason)
       .withColumn("keep", col("drop_reason") === lit(""))
-      .select(
+      .select(Seq(
         col("url"), col("warc_ts"), col("lang").as("lang_claimed"),
         col("lang_guess.lang").as("lang_id"), col("lang_guess.conf").as("lang_conf"),
         col("ppl"), col("q").as("quality"),
         col("keep"), col("drop_reason"),
         col("scrub.scrubbed").as("scrubbed_text"),
         col("scrub.aliases").as("alias_dict"),
-        col("scrub.counts").as("n_hits"), col("text"))
-
-    // model-assisted NER (security-level "enhanced" path): broadcast model,
-    // per-row inference, narrow — added to the plan only when enabled
-    val withNer =
-      if (!conf.modelNer) base
-      else {
-        val bNer = spark.sparkContext.broadcast(NerSlot.defaultModel)
-        base.withColumn("model_hits", NerSlot.modelHitsUdf(bNer)(col("text")))
-      }
-    withNer.drop("text")
+        col("scrub.counts").as("n_hits")) ++ nerCols: _*)
   }
 
   /** Training-pipeline order: exact-dedup the crawl BEFORE paying for

@@ -48,6 +48,13 @@ object ExprHelpers {
     new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
   }
 
+  private val emptyHits = new GenericArrayData(Array.empty[Any])
+  private def hitsArray(hits: Seq[graft.core.Hit]): GenericArrayData =
+    if (hits.isEmpty) emptyHits
+    else new GenericArrayData(hits.map(h => new GenericInternalRow(Array[Any](
+      UTF8String.fromString(h.kind), UTF8String.fromString(h.text),
+      h.start, h.end, h.conf, UTF8String.fromString(h.reason)))).toArray[Any])
+
   /** The fused per-page hot path as a direct InternalRow producer: same
     * core stages as [[graft.spark.PiiFunctions.pageStagesUdf]], minus the
     * ScalaUDF shim and the ExpressionEncoder round-trip (case class →
@@ -60,20 +67,30 @@ object ExprHelpers {
     * Pattern lists are filtered by the kind each pattern aliases as
     * (postal → address, the three name patterns → name). */
   def pageStages(text: UTF8String, mode: String, keyB64: String,
-                 ns: String, policiesCsv: String): InternalRow = {
+                 ns: String, policiesCsv: String, ner: Boolean): InternalRow = {
     val t = if (text == null) "" else text.toString
     val (l, c) = LangId.default.classify(t)
     val p = Perplexity.default.perplexity(t)
     val m = Quality.metrics(t)
-    // ONE shared scrub dispatch (Scrub.scrubWithMode) — the UDF path calls
-    // the same function, so the two paths cannot drift
-    val d = Scrub.scrubWithMode(mode, t, keyB64, ns, policiesCsv)
+    // ENHANCED security level (ner=true, main.py:241-245): one automaton
+    // pass per row over the per-JVM default gazetteer model; its hits are
+    // MERGED into the scrub span set (regex_hits.extend(ai_ner) semantics)
+    // and also emitted as the model_hits relation
+    val modelHits: Seq[graft.core.Hit] =
+      if (!ner) Nil
+      else graft.spark.NerSlot.defaultModel.infer(Seq(t)).head
+    // ONE shared scrub dispatch (Scrub.scrubWithMode/-Ner) — the UDF path
+    // calls the same functions, so the two paths cannot drift
+    val d =
+      if (!ner) Scrub.scrubWithMode(mode, t, keyB64, ns, policiesCsv)
+      else Scrub.scrubWithModeNer(mode, t, keyB64, ns, policiesCsv, modelHits)
     val q = new GenericInternalRow(Array[Any](
       m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
       m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(l), c, p, q,
-      UTF8String.fromString(d.scrubbed), strMap(d.aliases), longMap(d.counts)))
+      UTF8String.fromString(d.scrubbed), strMap(d.aliases), longMap(d.counts),
+      hitsArray(modelHits)))
   }
 }
 
@@ -87,7 +104,8 @@ object ExprHelpers {
   * struct, whose nulls fall through every `when()` in the keep/drop chain
   * and KEEP the corrupt row. */
 case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
-                          ns: String, policiesCsv: String = "")
+                          ns: String, policiesCsv: String = "",
+                          ner: Boolean = false)
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.Block._
   import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
@@ -100,7 +118,7 @@ case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
       s"page_stages requires a string argument, got ${child.dataType.catalogString}")
   override def eval(input: InternalRow): Any =
     ExprHelpers.pageStages(
-      child.eval(input).asInstanceOf[UTF8String], mode, keyB64, ns, policiesCsv)
+      child.eval(input).asInstanceOf[UTF8String], mode, keyB64, ns, policiesCsv, ner)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val modeRef = ctx.addReferenceObj("mode", mode, "java.lang.String")
     val keyRef = ctx.addReferenceObj("keyB64", keyB64, "java.lang.String")
@@ -111,7 +129,7 @@ case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
       code = code"""
         ${c.code}
         InternalRow ${ev.value} = graft.spark.expressions.ExprHelpers.pageStages(
-          ${c.isNull} ? null : ${c.value}, $modeRef, $keyRef, $nsRef, $polRef);""",
+          ${c.isNull} ? null : ${c.value}, $modeRef, $keyRef, $nsRef, $polRef, $ner);""",
       isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): PageStagesExpr =
@@ -134,6 +152,14 @@ object PageStagesExpr {
     StructField("maxWordLen", LongType, nullable = false),
     StructField("cjkRatio", DoubleType, nullable = false)))
 
+  val hitSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("conf", DoubleType, nullable = false),
+    StructField("reason", StringType, nullable = false)))
+
   val schema: StructType = StructType(Seq(
     StructField("lang_id", StringType, nullable = false),
     StructField("lang_conf", DoubleType, nullable = false),
@@ -141,7 +167,9 @@ object PageStagesExpr {
     StructField("q", qualitySchema, nullable = false),
     StructField("scrubbed", StringType, nullable = false),
     StructField("aliases", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
-    StructField("counts", MapType(StringType, LongType, valueContainsNull = false), nullable = false)))
+    StructField("counts", MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    // model-NER hits (ENHANCED level only; empty array at MAXIMUM)
+    StructField("model_hits", ArrayType(hitSchema, containsNull = false), nullable = false)))
 }
 
 abstract class GraftUnaryStringExpression extends UnaryExpression
@@ -214,7 +242,7 @@ object GraftExtensions {
     ("simhash64", info("simhash64", "_FUNC_(text) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)),
     ("page_stages", info("page_stages",
-      "_FUNC_(text, mode, key_b64, ns[, policies_csv]) - fused langid+perplexity+quality+scrub struct"),
+      "_FUNC_(text, mode, key_b64, ns[, policies_csv[, ner]]) - fused langid+perplexity+quality+scrub struct"),
       (args: Seq[Expression]) => {
         def litStr(i: Int, name: String): String = {
           val e = args(i)
@@ -224,7 +252,8 @@ object GraftExtensions {
           v.toString
         }
         PageStagesExpr(args.head, litStr(1, "mode"), litStr(2, "key_b64"),
-          litStr(3, "ns"), if (args.length > 4) litStr(4, "policies_csv") else "")
+          litStr(3, "ns"), if (args.length > 4) litStr(4, "policies_csv") else "",
+          ner = args.length > 5 && litStr(5, "ner").toBoolean)
       }))
 
   /** Register on an already-built session (tests, notebooks). */

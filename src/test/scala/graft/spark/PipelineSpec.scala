@@ -159,6 +159,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!on.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("ENHANCED merges model-NER hits into the scrubbed text and n_hits") {
+    import spark.implicits._
+    import Pipeline.SecurityLevel._
+    val df = Seq(
+      ("https://a.example/1", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        ("the quick brown fox and 山田太郎 of Example Corp sat by the river " * 3), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    for (native <- Seq(true, false)) {
+      def run(l: Pipeline.SecurityLevel) =
+        Pipeline.run(spark, df,
+          Pipeline.Conf(security = l, nativeStages = native))
+          .select("scrubbed_text", "n_hits").head()
+      val mx = run(Maximum)
+      val enh = run(Enhanced)
+      val mxText = mx.getString(0)
+      val enhText = enh.getString(0)
+      // MAXIMUM: rule-only — the gazetteer ORG survives (the kanji name is
+      // also caught by the rule name pattern, so pin the ORG difference)
+      assert(mxText.contains("Example Corp"), s"native=$native: $mxText")
+      // ENHANCED: gazetteer entities are REDACTED in the output text
+      assert(!enhText.contains("Example Corp"), s"native=$native: $enhText")
+      assert(enhText.contains("<ORG_"), s"native=$native: $enhText")
+      // ...and counted in n_hits
+      val mxCounts = mx.getMap[String, Long](1).toMap
+      val enhCounts = enh.getMap[String, Long](1).toMap
+      assert(!mxCounts.contains("org"))
+      assert(enhCounts.getOrElse("org", 0L) >= 3L, s"native=$native: $enhCounts")
+      // the two levels differ ONLY on gazetteer-entity spans: restoring the
+      // aliases' spans aside, the non-entity text is untouched
+      assert(enhText.replaceAll("<ORG_\\d+>", "Example Corp")
+        .replaceAll("<PERSON_\\d+>", "山田太郎") ==
+        mxText.replaceAll("<PERSON_\\d+>", "山田太郎"),
+        s"native=$native:\n  max=$mxText\n  enh=$enhText")
+    }
+  }
+
   test("input_hint invariant: text extracted from html is byte-identical per url") {
     val rows = pages.collect()
     rows.foreach { p =>

@@ -180,6 +180,79 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/ner_model.parquet ({ner_rows})")
 
 # ---------------------------------------------------------------------------
+# q_scrub_enhanced expected: the ENHANCED-level merged scrub (Scrub.
+# scrubWithModeNer, mode=dict, no policies) — regex-union spans over the
+# FullOrder pattern list merged with gazetteer model hits via the stable
+# (start, -len) sort + greedy span dedup, then dict-aliased in one splice.
+FULL_ORDER = [("email", RE_EMAIL), ("phone", RE_PHONE), ("amount", RE_AMOUNT),
+              ("id", RE_ID), ("address", RE_POSTAL), ("address", RE_ADDRESS),
+              ("name", RE_NAME_K), ("name", RE_NAME_H), ("name", RE_NAME_T)]
+UNION_FULL = re.compile("|".join(f"({p.pattern})" for _, p in FULL_ORDER))
+DICT_TAG = {"email": "EMAIL", "phone": "PHONE", "amount": "AMOUNT", "id": "ID",
+            "address": "ADDRESS", "name": "PERSON", "org": "ORG", "misc": "MISC"}
+
+def planted_enh(doc_id, text):  # twin of SparkEntry.docsNerPii (PII then NER)
+    return planted_ner(doc_id, planted(doc_id, text))
+
+def model_hits_of(text):
+    """NerSlot.infer twin: all occurrences of every gazetteer entry,
+    sorted by (start, end, reason, text)."""
+    hits = []
+    for label, e in entries:
+        i = text.find(e)
+        while i >= 0:
+            hits.append((HF2PII.get(label, "misc"), e, i, i + len(e),
+                         f"model:{label}"))
+            i = text.find(e, i + 1)
+    hits.sort(key=lambda h: (h[2], h[3], h[4], h[1]))
+    return hits
+
+def scrub_enhanced_dict(text):
+    # regex spans FIRST (stable sort ⇒ rule hit wins identical spans)
+    spans = []
+    for m in UNION_FULL.finditer(text):
+        idx = next(i for i, g in enumerate(m.groups(), start=1) if g is not None)
+        spans.append((FULL_ORDER[idx - 1][0], m.group(0), m.start(), m.end()))
+    mh = model_hits_of(text)
+    spans += [(k, t, s, e) for k, t, s, e, _ in mh]
+    spans.sort(key=lambda h: (h[2], -(h[3] - h[2])))  # stable, like sortBy
+    out = []
+    last = 0
+    counts = {}
+    aliases = {}
+    per_tag = {}
+    last_end = -1
+    for kind, orig, s, e in spans:
+        if s < last_end:
+            continue  # greedy span dedup (Scrub.dedupSpans)
+        last_end = e
+        counts[kind] = counts.get(kind, 0) + 1
+        tag = DICT_TAG.get(kind, "PII")
+        key = (tag, orig)
+        if key not in aliases:
+            per_tag[tag] = per_tag.get(tag, 0) + 1
+            aliases[key] = f"<{tag}_{per_tag[tag]}>"
+        out.append(text[last:s])
+        out.append(aliases[key])
+        last = e
+    out.append(text[last:])
+    return "".join(out), counts, len(mh)
+
+enh = []
+for d, t in rows:
+    text = planted_enh(d, t)
+    scrubbed, counts, n_model = scrub_enhanced_dict(text)
+    enh.append((d, scrubbed, counts.get("org", 0), counts.get("name", 0), n_model))
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in enh], pa.int64()),
+    "scrubbed": pa.array([r[1] for r in enh], pa.string()),
+    "n_org": pa.array([r[2] for r in enh], pa.int64()),
+    "n_name": pa.array([r[3] for r in enh], pa.int64()),
+    "n_model": pa.array([r[4] for r in enh], pa.int64()),
+}), f"{OUT}/scrub_enhanced.parquet")
+print(f"wrote {OUT}/scrub_enhanced.parquet ({len(enh)} rows)")
+
+# ---------------------------------------------------------------------------
 # Model-scoring twins: load the SAME committed binary model artifacts the
 # engine broadcasts (src/main/resources/graft/*.bin|*.lm, ModelIo format) and
 # reimplement ONLY the scoring loops — an independent implementation of
