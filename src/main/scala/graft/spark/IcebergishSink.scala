@@ -2,9 +2,9 @@ package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-style partitioned sink with snapshot manifests, a per-bucket
   * completion ledger, per-partition lineage, and EXACT resume.
@@ -12,6 +12,19 @@ import scala.jdk.CollectionConverters._
   * No Iceberg runtime jar ships in this offline image (SURVEY.md §1.3), so
   * the layout emulates one — parquet files under `data/part_bucket=N/` plus
   * JSON metadata — behind this one object so a real catalog can be swapped in.
+  *
+  * ALL metadata IO goes through the Hadoop `FileSystem` API resolved from
+  * the output path's scheme, so the same code runs against file:, hdfs: and
+  * s3a: outputs — a java.nio implementation would silently be driver-local
+  * on a real cluster. Commit safety per scheme:
+  *  - HDFS: `rename` is atomic; [[writeAtomic]] is write-tmp → rename.
+  *  - S3A: rename is copy+delete (not atomic). The layout is rename-safe
+  *    anyway because every metadata file is COMMIT-ONCE: ledger entries and
+  *    snapshot manifests are only ever created (never rewritten in place),
+  *    readers treat a missing/partial `.tmp` as absence, and the
+  *    bucket-data directories they point at are immutable once their ledger
+  *    entry exists — the standard Iceberg-style "metadata points at
+  *    immutable files" commit story.
   *
   * Resume contract (north_rule): output buckets are the unit of commit. A
   * bucket directory only counts once its ledger entry exists; on resume,
@@ -42,8 +55,25 @@ object IcebergishSink {
       rows: Long,
       keepRows: Long)
 
-  private def ledgerDir(out: String): Path = Paths.get(out, "_ledger")
-  private def dataDir(out: String): Path = Paths.get(out, "data")
+  private def ledgerDir(out: String): Path = new Path(out, "_ledger")
+  private def dataDir(out: String): Path = new Path(out, "data")
+
+  /** Hadoop conf of the active session when one exists (so fs.s3a.* /
+    * fs.defaultFS settings apply); a bare Configuration otherwise. */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def listDir(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!fs.exists(dir)) Seq.empty else fs.listStatus(dir).toSeq
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
 
   /** Per-bucket (rows, keep_rows, hits) accumulated INSIDE the write job —
     * lineage at 100 TB cannot afford a second full scan of what was just
@@ -85,22 +115,15 @@ object IcebergishSink {
       keepRows: Long,
       createdMs: Long)
 
-  /** `Files.list` streams hold a directory fd until closed — mandatory
-    * try/finally on every use (these are polling-shaped APIs). */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator.asScala.toSeq finally s.close()
-  }
-
   /** All snapshot manifests under `out`, oldest first. */
   def listSnapshots(out: String): Seq[SnapshotInfo] = {
-    val dir = Paths.get(out, "_snapshots")
-    if (!Files.isDirectory(dir)) return Seq.empty
+    val dir = new Path(out, "_snapshots")
+    val fs = fsOf(dir)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    listDir(dir)
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val n = mapper.readTree(Files.readString(p))
+    listDir(fs, dir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val n = mapper.readTree(readBytes(fs, st.getPath))
         val buckets = (0 until n.get("buckets").size()).map(i =>
           n.get("buckets").get(i).asText.stripPrefix("part_bucket=").toInt)
         SnapshotInfo(n.get("snapshot_id").asText, n.get("input_snapshot").asText,
@@ -129,9 +152,8 @@ object IcebergishSink {
   /** Buckets already committed (ledger entry present). */
   def completedBuckets(out: String): Set[Int] = {
     val dir = ledgerDir(out)
-    if (!Files.isDirectory(dir)) return Set.empty
-    listDir(dir).iterator
-      .map(_.getFileName.toString)
+    listDir(fsOf(dir), dir).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
         s.stripPrefix("bucket-").stripSuffix(".json").toInt
       }.toSet
@@ -139,12 +161,15 @@ object IcebergishSink {
 
   def readLineage(out: String): Seq[BucketLineage] = {
     val dir = ledgerDir(out)
-    if (!Files.isDirectory(dir)) return Seq.empty
+    val fs = fsOf(dir)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    listDir(dir)
-      .filter(_.getFileName.toString.startsWith("bucket-"))
-      .map { p =>
-        val n = mapper.readTree(Files.readString(p))
+    listDir(fs, dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("bucket-") && n.endsWith(".json")
+      }
+      .map { st =>
+        val n = mapper.readTree(readBytes(fs, st.getPath))
         BucketLineage(n.get("bucket").asInt, n.get("rows").asLong,
           n.get("keep_rows").asLong, n.get("hits").asLong,
           n.get("input_snapshot").asText, n.get("rule_version").asText,
@@ -152,20 +177,24 @@ object IcebergishSink {
       }.sortBy(_.bucket)
   }
 
+  /** Commit-once metadata write: content to a `.tmp` sibling, then rename
+    * over the target. Atomic on HDFS/file; on S3A the rename is copy+delete
+    * but the file is only ever created once per commit (see object docs),
+    * so a torn write is re-runnable, never half-read. */
   private def writeAtomic(path: Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val fs = fsOf(path)
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val outS = fs.create(tmp, true)
+    try outS.write(content.getBytes(UTF_8)) finally outS.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      sys.error(s"rename $tmp -> $path failed")
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator.asScala.toSeq.reverse.foreach(Files.delete)
-      finally s.close()
-    }
+  private def deleteRecursively(p: Path): Unit = {
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** Write to `out`, skipping committed buckets, committing the rest. One
     * Spark job writes every todo bucket (scales — resume granularity is the
@@ -189,7 +218,7 @@ object IcebergishSink {
     if (todo.nonEmpty) {
       // uncommitted bucket dirs are leftovers of an interrupted run — remove
       // them so re-append cannot duplicate rows
-      todo.foreach(b => deleteRecursively(dataDir(out).resolve(s"part_bucket=$b")))
+      todo.foreach(b => deleteRecursively(new Path(dataDir(out), s"part_bucket=$b")))
 
       val subset = input.where(col("part_bucket").isin(todo: _*))
 
@@ -228,7 +257,7 @@ object IcebergishSink {
       val now = System.currentTimeMillis()
       todo.foreach { b =>
         val (rows, keeps, hits) = stats.getOrElse(b, (0L, 0L, 0L))
-        writeAtomic(ledgerDir(out).resolve(s"bucket-$b.json"),
+        writeAtomic(new Path(ledgerDir(out), s"bucket-$b.json"),
           s"""{"bucket":$b,"rows":$rows,"keep_rows":$keeps,"hits":$hits,""" +
             s""""input_snapshot":"$inputSnapshot","rule_version":"$RuleVersion",""" +
             s""""completed_ms":$now}""")
@@ -239,7 +268,7 @@ object IcebergishSink {
     val report = WriteReport(snapshotId, todo, done.toSeq.sorted,
       lineage.map(_.rows).sum, lineage.map(_.keepRows).sum)
     val files = lineage.map(b => s""""part_bucket=${b.bucket}"""").mkString("[", ",", "]")
-    writeAtomic(Paths.get(out, "_snapshots", s"snap-$snapshotId.json"),
+    writeAtomic(new Path(new Path(out, "_snapshots"), s"snap-$snapshotId.json"),
       s"""{"snapshot_id":"$snapshotId","input_snapshot":"$inputSnapshot",""" +
         s""""rule_version":"$RuleVersion","buckets":$files,""" +
         s""""rows":${report.rows},"keep_rows":${report.keepRows},""" +
