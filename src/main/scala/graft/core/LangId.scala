@@ -59,9 +59,10 @@ final case class LangIdModel(
   }
 
   /** (bestLang, confidence in [0,1]) — confidence is the softmax weight of
-    * the winning language over the candidate set. Allocation-free per call
-    * beyond the normalized prefix buffer and the score array. */
-  def classify(text: String): (String, Double) = {
+    * the winning language over the candidate set. Allocation-free per call:
+    * the normalized prefix lives in a per-thread reused buffer and only the
+    * score array (|langs| doubles) is allocated. */
+  def classify(text: CharSequence): (String, Double) = {
     val nl = langs.length
     val scores = new Array[Double](nl)
     val t = LangId.normalize(text)
@@ -107,7 +108,7 @@ object LangId {
     * String-keyed variant used at TRAIN time only; classification walks the
     * packed-Long keys directly. */
   def grams(text: String): Iterator[String] = {
-    val t = normalize(text)
+    val t = normalize(text).toString
     if (t.isEmpty) Iterator.empty
     else (1 to 3).iterator.flatMap(k => t.sliding(k).filter(_.length == k))
   }
@@ -119,21 +120,27 @@ object LangId {
     key
   }
 
-  private[core] def normalize(text: String): String = {
-    val sb = new java.lang.StringBuilder(math.min(text.length, 4096) + 2)
-    sb.append(' ')
+  // per-thread normalize scratch: the buffer is bounded (4096-char prefix
+  // + 2 sentinels), so reuse kills the per-row StringBuilder + String pair
+  private val normScratch = ThreadLocal.withInitial[(Array[Char], CharsView)](
+    () => (new Array[Char](4098), new CharsView))
+
+  private[core] def normalize(text: CharSequence): CharSequence = {
+    val (buf, view) = normScratch.get()
+    var n = 0
+    buf(n) = ' '; n += 1
     var i = 0
     var lastSpace = true
     val lim = math.min(text.length, 4096) // langid needs a prefix, not the doc
     while (i < lim) {
       val c = Character.toLowerCase(text.charAt(i))
       val ws = Character.isWhitespace(c)
-      if (!ws) { sb.append(c); lastSpace = false }
-      else if (!lastSpace) { sb.append(' '); lastSpace = true }
+      if (!ws) { buf(n) = c; n += 1; lastSpace = false }
+      else if (!lastSpace) { buf(n) = ' '; n += 1; lastSpace = true }
       i += 1
     }
-    sb.append(' ')
-    sb.toString
+    buf(n) = ' '; n += 1
+    view.set(buf, n)
   }
 
   /** Embedded seed corpus (own prose, a few hundred chars per language). */

@@ -15,7 +15,7 @@ package graft.core
 final class PerplexityModel private[core] (logProb: Array[Float]) extends Serializable {
   import Perplexity._
 
-  def perplexity(text: String): Double = {
+  def perplexity(text: CharSequence): Double = {
     val lim = math.min(text.length, 8192)
     if (lim == 0) return MaxPpl
     var c2 = SpaceSym

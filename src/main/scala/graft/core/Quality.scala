@@ -67,7 +67,7 @@ object Quality {
     * lines are identified by rolling 64-bit hashes (collision odds ~1e-13 per
     * document; only distinct-count stats depend on them). Equivalent to the
     * naive tokenize-then-count implementation, pinned by QualityScanSpec. */
-  def metrics(text: String): Metrics = {
+  def metrics(text: CharSequence): Metrics = {
     val nC = text.length.toLong
     var symbols = 0L
     var letters = 0L

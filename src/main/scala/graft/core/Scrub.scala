@@ -53,7 +53,7 @@ object Scrub {
   private val matcherCache =
     ThreadLocal.withInitial[java.util.HashMap[Pattern, java.util.regex.Matcher]](
       () => new java.util.HashMap())
-  private[core] def matcherFor(p: Pattern, text: String): java.util.regex.Matcher = {
+  private[core] def matcherFor(p: Pattern, text: CharSequence): java.util.regex.Matcher = {
     val m = matcherCache.get().computeIfAbsent(p, pp => pp.matcher(""))
     m.reset(text)
     m
@@ -77,7 +77,7 @@ object Scrub {
   private def isJpTrigger(c: Char): Boolean = c >= '　'
 
   /** Drop patterns whose trigger char never occurs. */
-  def triggered(text: String, names: Seq[String]): Seq[String] = {
+  def triggered(text: CharSequence, names: Seq[String]): Seq[String] = {
     var hasAt = false
     var hasDigit = false
     var hasJp = false
@@ -97,11 +97,14 @@ object Scrub {
   }
 
   /** One left-to-right pass; `aliasFor(kind, matchedText)` supplies the
-    * replacement. Returns the scrubbed text. */
-  def scrub(text: String, names0: Seq[String], aliasFor: (String, String) => String): String = {
-    if (names0.isEmpty || text.isEmpty) return text
+    * replacement. Returns the scrubbed text, or NULL when nothing matched —
+    * the raw form lets the fused hot path skip re-encoding an unchanged
+    * document (most web rows) instead of copying it through a String. */
+  def scrubRaw(text: CharSequence, names0: Seq[String],
+               aliasFor: (String, String) => String): String = {
+    if (names0.isEmpty || text.length == 0) return null
     val names = triggered(text, names0)
-    if (names.isEmpty) return text
+    if (names.isEmpty) return null
     val m = matcherFor(union(names), text)
     var sb: java.lang.StringBuilder = null
     var last = 0
@@ -113,10 +116,17 @@ object Scrub {
       sb.append(aliasFor(kindOf(names(idx - 1)), m.group()))
       last = m.end()
     }
-    val out = if (sb == null) text
+    val out = if (sb == null) null
     else { sb.append(text, last, text.length); sb.toString }
     release(m)
     out
+  }
+
+  /** String-total [[scrubRaw]]: unchanged input returns the input itself. */
+  def scrub(text: String, names0: Seq[String],
+            aliasFor: (String, String) => String): String = {
+    val r = scrubRaw(text, names0, aliasFor)
+    if (r == null) text else r
   }
 
   /** Fixed-token mode: every match of kind k becomes `<K>`. */
@@ -187,15 +197,41 @@ object Scrub {
       o.filter(n => set.contains(kindOf(n)))
     })
 
-  /** The per-page scrub-mode dispatch, shared by the native `page_stages`
-    * expression and the broadcast-UDF path (one implementation — the two
-    * paths are pinned row-for-row equal by tests and must never drift). */
-  def scrubWithMode(mode: String, t: String, keyB64: String, ns: String,
-                    policiesCsv: String): DictResult = mode match {
-    case "dict" => scrubDict(t, filteredOrder(FullOrder, policiesCsv))
+  /** The per-page scrub-mode dispatch RAW form, shared by the native
+    * `page_stages` expression and the broadcast-UDF path (one implementation
+    * — the two paths are pinned row-for-row equal by tests and must never
+    * drift). `scrubbed == null` means UNCHANGED: the fused hot path then
+    * forwards the input UTF8String instead of re-encoding a copy. */
+  def scrubWithModeRaw(mode: String, t: CharSequence, keyB64: String, ns: String,
+                       policiesCsv: String): DictResult = mode match {
+    case "dict" =>
+      // lazy init: most web rows have zero hits — don't pay three map
+      // allocations per row for the common no-match case
+      var dict: mutable.LinkedHashMap[String, String] = null
+      var perTagCounter: mutable.Map[String, Int] = null
+      var counts: mutable.Map[String, Long] = null
+      val scrubbed = scrubRaw(t, filteredOrder(FullOrder, policiesCsv), { (kind, orig) =>
+        if (dict == null) {
+          dict = mutable.LinkedHashMap.empty
+          perTagCounter = mutable.Map.empty
+          counts = mutable.Map.empty
+        }
+        counts.update(kind, counts.getOrElse(kind, 0L) + 1L)
+        val tag = dictTag.getOrElse(kind, "PII")
+        dict.getOrElseUpdate(tag + "\u0000" + orig, {
+          val n = perTagCounter.getOrElse(tag, 0) + 1
+          perTagCounter.update(tag, n)
+          s"<${tag}_$n>"
+        })
+      })
+      if (dict == null) DictResult(scrubbed, Map.empty, Map.empty)
+      else {
+        val aliases = dict.map { case (k, v) => k.substring(k.indexOf('\u0000') + 1) -> v }
+        DictResult(scrubbed, aliases.toMap, counts.toMap)
+      }
     case "tags" =>
       val counts = mutable.Map.empty[String, Long]
-      val s = scrub(t, filteredOrder(FullOrder, policiesCsv), { (k, _) =>
+      val s = scrubRaw(t, filteredOrder(FullOrder, policiesCsv), { (k, _) =>
         counts.update(k, counts.getOrElse(k, 0L) + 1L)
         "<" + k.toUpperCase + ">"
       })
@@ -203,12 +239,19 @@ object Scrub {
     case "ref" =>
       val counts = mutable.Map.empty[String, Long]
       val dict = mutable.Map.empty[String, String]
-      val s = scrub(t, filteredOrder(ReferenceOrder, policiesCsv), { (k, orig) =>
+      val s = scrubRaw(t, filteredOrder(ReferenceOrder, policiesCsv), { (k, orig) =>
         counts.update(k, counts.getOrElse(k, 0L) + 1L)
         dict.getOrElseUpdate(orig, RefAlias.aliasWithJpyRule(k, orig, keyB64, ns))
       })
       DictResult(s, dict.toMap, counts.toMap)
     case other => sys.error(s"unknown scrub mode: $other")
+  }
+
+  /** String-total [[scrubWithModeRaw]]: unchanged ⇒ scrubbed = the input. */
+  def scrubWithMode(mode: String, t: String, keyB64: String, ns: String,
+                    policiesCsv: String): DictResult = {
+    val d = scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv)
+    if (d.scrubbed == null) d.copy(scrubbed = t) else d
   }
 
   /** The union pass of [[scrub]] as a SPAN view: same matcher, same order

@@ -66,31 +66,85 @@ object ExprHelpers {
     * per-request `policies` form field, app/main.py:379); empty = all.
     * Pattern lists are filtered by the kind each pattern aliases as
     * (postal → address, the three name patterns → name). */
+  /** Per-thread UTF-8 decode scratch: decoding the row's UTF8String into a
+    * reused char buffer (instead of `toString`) removes the two largest
+    * per-row allocations of the hot path — the String + its value array —
+    * and, when the scrub changes nothing (most web rows), lets the output
+    * forward the INPUT UTF8String with zero re-encode. */
+  private final class Utf8Scratch {
+    private var chars = new Array[Char](1 << 10)
+    private val view = new graft.core.CharsView
+    private val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    /** Decode `u` into the reused buffer. UTF-8 never yields more UTF-16
+      * units than bytes (4-byte sequences → 2 units), so numBytes bounds
+      * the buffer. Valid until the next call on this thread. */
+    def decode(u: UTF8String): graft.core.CharsView = {
+      val nBytes = u.numBytes()
+      if (chars.length < nBytes)
+        chars = new Array[Char](java.lang.Integer.highestOneBit(nBytes - 1) << 1)
+      val cb = java.nio.CharBuffer.wrap(chars)
+      // getByteBuffer wraps the backing array without copying; off-heap
+      // backed strings (unsupported there) fall back to a byte copy
+      val bb =
+        try u.getByteBuffer
+        catch { case _: UnsupportedOperationException =>
+          java.nio.ByteBuffer.wrap(u.getBytes)
+        }
+      dec.reset()
+      dec.decode(bb, cb, true)
+      dec.flush(cb)
+      view.set(chars, cb.position())
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Utf8Scratch](() => new Utf8Scratch)
+  private val EmptyView = new graft.core.CharsView
+
   def pageStages(text: UTF8String, mode: String, keyB64: String,
                  ns: String, policiesCsv: String, ner: Boolean): InternalRow = {
-    val t = if (text == null) "" else text.toString
+    // byte-level hot path: score a reused char view of the UTF-8 bytes —
+    // no per-row String materialization (null text scores as empty, same
+    // as the UDF path)
+    val t: graft.core.CharsView =
+      if (text == null) EmptyView else scratch.get().decode(text)
     val (l, c) = LangId.default.classify(t)
     val p = Perplexity.default.perplexity(t)
     val m = Quality.metrics(t)
     // ENHANCED security level (ner=true, main.py:241-245): one automaton
     // pass per row over the per-JVM default gazetteer model; its hits are
     // MERGED into the scrub span set (regex_hits.extend(ai_ner) semantics)
-    // and also emitted as the model_hits relation
-    val modelHits: Seq[graft.core.Hit] =
-      if (!ner) Nil
-      else graft.spark.NerSlot.defaultModel.infer(Seq(t)).head
-    // ONE shared scrub dispatch (Scrub.scrubWithMode/-Ner) — the UDF path
-    // calls the same functions, so the two paths cannot drift
+    // and also emitted as the model_hits relation. This path materializes
+    // the String once (the automaton + merge work on Strings).
     val d =
-      if (!ner) Scrub.scrubWithMode(mode, t, keyB64, ns, policiesCsv)
-      else Scrub.scrubWithModeNer(mode, t, keyB64, ns, policiesCsv, modelHits)
+      if (!ner) Scrub.scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv)
+      else {
+        val s = t.toString
+        val hits = graft.spark.NerSlot.defaultModel.infer(Seq(s)).head
+        val r = Scrub.scrubWithModeNer(mode, s, keyB64, ns, policiesCsv, hits)
+        val q0 = new GenericInternalRow(Array[Any](
+          m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
+          m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
+        return new GenericInternalRow(Array[Any](
+          UTF8String.fromString(l), c, p, q0,
+          UTF8String.fromString(r.scrubbed), strMap(r.aliases), longMap(r.counts),
+          hitsArray(hits)))
+      }
+    // unchanged scrub (scrubbed == null): forward the input UTF8String —
+    // safe because the consuming projection copies the struct into its
+    // UnsafeRow before the source advances to the next row (the same
+    // contract Spark's own substring/trim expressions rely on)
+    val scrubbedOut: UTF8String =
+      if (d.scrubbed != null) UTF8String.fromString(d.scrubbed)
+      else if (text == null) UTF8String.EMPTY_UTF8
+      else text
     val q = new GenericInternalRow(Array[Any](
       m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
       m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(l), c, p, q,
-      UTF8String.fromString(d.scrubbed), strMap(d.aliases), longMap(d.counts),
-      hitsArray(modelHits)))
+      scrubbedOut, strMap(d.aliases), longMap(d.counts),
+      hitsArray(Nil)))
   }
 }
 
