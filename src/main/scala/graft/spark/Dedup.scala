@@ -52,21 +52,31 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8, maxBandBucket: Int = 4096): DataFrame = {
-    // Exact-collapse with MAP-SIDE combine: groupBy(digest) keeps one text
-    // per digest already in the mapper's partial aggregate, so duplicate
-    // text bytes never enter the shuffle (first() over same-digest rows is
-    // deterministic — identical digest ⇒ identical text). The id→rep join
-    // then moves only (id, digest) pairs, never text.
-    val withDigest = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-    val reps = df.groupBy(md5(col(textCol)).as("digest"))
-      .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"))
+    // Exact-collapse in ONE aggregation over ONE scan of the input:
+    // groupBy(digest) keeps one text per digest already in the mapper's
+    // partial aggregate (first() is deterministic — identical digest ⇒
+    // identical text), so duplicate text bytes never enter the shuffle,
+    // and collect_list(id) carries the copy ids so the star arcs come from
+    // a narrow explode instead of a second scan + id→rep join (the r2
+    // shape md5-ed every document twice — a full extra corpus pass at
+    // scale). Memory: one agg buffer holds k ids for a k-times-duplicated
+    // page — 8 bytes/copy, fine to ~10^7 copies of a single page; beyond
+    // that the page belongs to an upstream exact-dedup tier anyway.
+    // The collapsed relation is persisted (it feeds both the arcs and the
+    // banding) — it is the DISTINCT-text relation, far smaller than the
+    // input, and caching it is what makes the input scan happen once.
+    val grouped = df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
+        collect_list(col(idCol)).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // star arcs for exact copies: rep = min id per digest, so rep < id
-    val dupArcs = withDigest
-      .join(reps.select(col("digest"), col("rep")), "digest")
-      .where(col("id") =!= col("rep"))
-      .select(col("rep").as("a"), col("id").as("b"), lit(1.0).as("sim"))
+    val dupArcs = grouped
+      .where(size(col("ids")) > 1)
+      .select(col("rep"), explode(col("ids")).as("b"))
+      .where(col("b") =!= col("rep"))
+      .select(col("rep").as("a"), col("b"), lit(1.0).as("sim"))
 
-    val distinctTexts = reps.select(col("rep").as("id"), col("t"))
+    val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
     val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -171,19 +181,22 @@ object Dedup {
 
     // mass-duplicate guard (same contract as minHashLsh): identical
     // embeddings share every table signature, so k exact copies would make
-    // k²/2 bucket pairs — exact-collapse to a min-id representative first
-    // (map-side combine, duplicate vectors never enter the shuffle twice)
-    // and emit linear (rep, copy, selfDot) star arcs
-    val reps = df.groupBy(col(embCol).as("e"))
-      .agg(min(col(idCol)).as("rep"))
-    val dupArcs = df.select(col(idCol).as("id"), col(embCol).as("e"))
-      .join(reps, "e")
-      .where(col("id") =!= col("rep"))
-      .select(col("rep").as("a"), col("id").as("b"),
+    // k²/2 bucket pairs — exact-collapse to a min-id representative in ONE
+    // aggregation over ONE scan (collect_list carries the copy ids; star
+    // arcs come from a narrow explode, not a second scan + vector join),
+    // persisted because it feeds both the arcs and the bucketing
+    val grouped = df.groupBy(col(embCol).as("e"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupArcs = grouped
+      .where(size(col("ids")) > 1)
+      .select(col("rep"), col("e"), explode(col("ids")).as("b"))
+      .where(col("b") =!= col("rep"))
+      .select(col("rep").as("a"), col("b"),
         Ann.dotQuantized(col("e"), col("e")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
 
-    val distinctVecs = reps.select(col("rep").as("id"), col("e"))
+    val distinctVecs = grouped.select(col("rep").as("id"), col("e"))
     val sigCols = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         Ann.signature(col("e"), Ann.hyperplanes(nBits, dim, seed + t * 7919L))
