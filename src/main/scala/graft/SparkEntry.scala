@@ -479,6 +479,29 @@ object SparkEntry {
         PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
           .as("scrubbed"))),
 
+    // the STREAMING face through the driver gate: the same pages flow
+    // through readStream → Pipeline.run → writeStream (partitioned parquet,
+    // checkpointed, AvailableNow) and the materialized output must equal
+    // the BATCH pipeline twin row-for-row — the q_pipeline golden parquet
+    // is the oracle for both.
+    "q_stream_pipeline" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val in = s"$tmp/in"
+      DataGen.pages(s, 2000).toDF().write.mode("overwrite").parquet(in)
+      val q = graft.spark.StreamingPipeline
+        .fileStream(s, in, s"$tmp/out", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .drop("part_bucket", "alias_dict", "n_hits", "quality")
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")
+        .withColumn("conf_milli", floor(col("lang_conf") * 1000).cast("long"))
+        .drop("lang_conf")
+        .withColumn("ppl_centi", floor(col("ppl") * 100).cast("long"))
+        .drop("ppl")
+    }),
+
     // ENHANCED-level scrub (ops 13/14 merged into the redaction path): the
     // fused page_stages expression with ner=true — gazetteer model hits are
     // merged into the scrub span set and counted in n_hits. Exercised over
@@ -773,6 +796,12 @@ object SparkEntry {
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
+    // the streaming run must converge to the BATCH pipeline's twin exactly
+    "q_stream_pipeline" ->
+      ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
+        " drop_reason, scrubbed_text, warc_ms" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline.parquet')"),
 
   )
 
