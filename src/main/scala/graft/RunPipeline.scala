@@ -32,8 +32,9 @@ object RunPipeline {
       // serializing parquet encode — keep one task per (bucket,salt) wave
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
-      // parquet encode is a large slice of sink wall time; codec is an
-      // explicit knob (snappy default; lz4_raw measurably faster here)
+      // codec stays an explicit knob; measured by cpuSec (SinkAb) snappy
+      // and lz4_raw are within noise on this output, so snappy (the
+      // ecosystem default) is pinned
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
     sys.env.get("SPARK_GRAFT_CPUS").foreach { c =>
@@ -46,7 +47,23 @@ object RunPipeline {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val conf = Pipeline.Conf(scrubMode = scrubMode)
+    // salt width trades shuffle fan-out for parquet-encode parallelism in
+    // the write stage (bench knob; default = Conf default)
+    val conf = Pipeline.Conf(scrubMode = scrubMode,
+      saltBuckets = sys.env.get("SPARK_GRAFT_SALT").map(_.toInt)
+        .getOrElse(Pipeline.Conf().saltBuckets))
+
+    // SPARK_GRAFT_WARMUP=1: one untimed score-only pass first, so the timed
+    // write measures JIT steady state (a single cold pass under-reports the
+    // 32-thread stage 2-3× while C2 contends with the workers — BENCH.md).
+    // A real long-running job is at steady state for all but its first
+    // seconds; the driver-style single-shot run is the artificial case.
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
+      val spark0 = builder.getOrCreate()
+      spark0.sparkContext.setLogLevel("WARN")
+      Pipeline.run(spark0, spark0.read.parquet(in), conf)
+        .write.format("noop").mode("overwrite").save()
+    }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpu0 = osBean.getProcessCpuTime
