@@ -22,6 +22,63 @@ class ScrubSpec extends AnyFunSuite {
     assert(Scrub.dedupSpans(Seq(h(0, 4), h(4, 8))).size == 2)
   }
 
+  test("merged NER scrub: span conflicts resolve by (start, -len), rule wins ties") {
+    val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
+    // regex email at [5,13); model hits: one identical to the email span,
+    // one strictly inside it, one in clean text, one overlapping the tail
+    val text = "mail a@ex.com and Example Corp"
+    def mh(kind: String, t: String, s: Int) =
+      Hit(kind, t, s, s + t.length, 0.9, "model:X")
+    val hits = Seq(
+      mh("org", "a@ex.com", 5),     // same span as the regex email → regex wins
+      mh("org", "ex.com", 7),       // inside the email span → dropped
+      mh("org", "Example Corp", 18) // clean region → replaced
+    )
+    val d = Scrub.scrubWithModeNer("dict", text, key, "ns", "", hits)
+    assert(d.scrubbed == "mail <EMAIL_1> and <ORG_1>", d.scrubbed)
+    assert(d.counts == Map("email" -> 1L, "org" -> 1L), d.counts)
+    assert(d.aliases == Map("a@ex.com" -> "<EMAIL_1>", "Example Corp" -> "<ORG_1>"))
+  }
+
+  test("merged NER scrub: longer model span beats shorter rule span at same start") {
+    val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
+    val text = "ref ACC-12345-EXT done"
+    // rule id matches ACC-12345 at [4,13); a model hit covers [4,17)
+    val hits = Seq(Hit("org", "ACC-12345-EXT", 4, 17, 0.9, "model:ORG"))
+    val d = Scrub.scrubWithModeNer("dict", text, key, "ns", "", hits)
+    assert(d.scrubbed == "ref <ORG_1> done", d.scrubbed)
+    assert(d.counts == Map("org" -> 1L))
+  }
+
+  test("merged NER scrub: policies filter model hits by kind") {
+    val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
+    val text = "mail a@ex.com and Example Corp"
+    val hits = Seq(Hit("org", "Example Corp", 18, 30, 0.9, "model:ORG"))
+    val d = Scrub.scrubWithModeNer("dict", text, key, "ns", "email", hits)
+    assert(d.scrubbed == "mail <EMAIL_1> and Example Corp", d.scrubbed)
+    assert(d.counts == Map("email" -> 1L))
+    // and the degenerate no-model-hits case equals the rule-only dispatch
+    val a = Scrub.scrubWithModeNer("dict", text, key, "ns", "", Nil)
+    val b = Scrub.scrubWithMode("dict", text, key, "ns", "")
+    assert(a == b)
+  }
+
+  test("merged NER scrub in ref mode aliases model kinds via RefAlias branches") {
+    val key = "Z3JhZnQtc3BhcmstcGlpLWRlZmF1bHQta2V5IQ=="
+    val text = "by 山田太郎 at Example Corp"
+    val hits = Seq(
+      Hit("name", "山田太郎", 3, 7, 0.9, "model:PER"),
+      Hit("org", "Example Corp", 11, 23, 0.9, "model:ORG"))
+    val d = Scrub.scrubWithModeNer("ref", text, key, "ns", "", hits)
+    // name branch: "family given" from the embedded word lists; org falls
+    // back to the misc draw — both deterministic for a fixed (key, ns)
+    assert(!d.scrubbed.contains("山田太郎") && !d.scrubbed.contains("Example Corp"),
+      d.scrubbed)
+    assert(d.counts == Map("name" -> 1L, "org" -> 1L))
+    val again = Scrub.scrubWithModeNer("ref", text, key, "ns", "", hits)
+    assert(d == again)
+  }
+
   test("trigger prefilter never changes scrub output") {
     // texts chosen to hit each trigger combination incl. none
     val texts = Seq(

@@ -69,6 +69,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(maps(nat = true).toSeq == maps(nat = false).toSeq)
   }
 
+  test("page_stages byte-path decode matches the UDF String path on tricky unicode") {
+    import spark.implicits._
+    // 1-, 2-, 3- and 4-byte UTF-8 sequences (the 4-byte emoji become
+    // surrogate PAIRS in the char view — offsets/metrics must match the
+    // String path exactly), plus PII so the scrub rebuilds text, plus a
+    // clean row exercising the forward-the-input-UTF8String path
+    val rows = Seq(
+      "plain ascii with mail a@b.cc and tel 03-1234-5678 in the text",
+      "naïve café über straße — déjà vu from the west wind",
+      "東京都の山田太郎は静かな部屋で本を読んでいます 郵便は〒100-0001 です",
+      "emoji soup 😀🌍 pays ¥1,234 to 🤖 id ACC-99999 ok",
+      "😀" * 40, // only 4-byte sequences
+      "clean short row of plain words that the scrub never touches at all")
+    val df = rows.zipWithIndex
+      .map { case (t, i) => (s"https://u.example/$i", new java.sql.Timestamp(0L),
+        Array.emptyByteArray, t, "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    def run(nat: Boolean) =
+      Pipeline.run(spark, df, Pipeline.Conf(nativeStages = nat))
+        .select("url", "lang_id", "lang_conf", "ppl", "quality", "keep",
+          "drop_reason", "scrubbed_text", "alias_dict", "n_hits")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(run(nat = true).toSeq == run(nat = false).toSeq)
+    // the untouched row comes back byte-identical to its input
+    val clean = Pipeline.run(spark, df)
+      .where(col("url") === "https://u.example/5")
+      .select("scrubbed_text").head().getString(0)
+    assert(clean == rows(5))
+  }
+
   test("page_stages stays inside whole-stage codegen over a parquet scan") {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = base.selectExpr(

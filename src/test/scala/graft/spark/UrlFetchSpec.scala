@@ -41,4 +41,15 @@ class UrlFetchSpec extends AnyFunSuite {
       .select("text").head().getString(0)
     assert(a == b && a.nonEmpty)
   }
+
+  test("DSv2 options are case-insensitive (batchsize == batchSize)") {
+    val manifest = Files.createTempFile("graft-manifest-ci", ".txt")
+    Files.writeString(manifest,
+      (0 until 130).map(i => s"https://ci-$i.example/p").mkString("\n"))
+    val df = spark.read.format("graft.sources.UrlFetchSource")
+      .option("MANIFEST", manifest.toString).option("batchsize", "10").load()
+    // 130/10 = 13 partitions; a silently dropped lowercase option would
+    // fall back to 64 → 3 partitions
+    assert(df.rdd.getNumPartitions == 13)
+  }
 }
