@@ -76,25 +76,45 @@ object Scrub {
   // so postal stays digit-triggered
   private def isJpTrigger(c: Char): Boolean = c >= '　'
 
-  /** Drop patterns whose trigger char never occurs. */
-  def triggered(text: CharSequence, names: Seq[String]): Seq[String] = {
-    var hasAt = false
-    var hasDigit = false
-    var hasJp = false
+  /** Trigger bitmask of a text: bit0 '@', bit1 digit, bit2 CJK/kana. */
+  private def triggerMask(text: CharSequence): Int = {
+    var mask = 0
     var i = 0
-    while (i < text.length && !(hasAt && hasDigit && hasJp)) {
+    val n = text.length
+    while (i < n && mask != 7) {
       val c = text.charAt(i)
-      if (c == '@') hasAt = true
-      else if (Character.isDigit(c)) hasDigit = true
-      else if (isJpTrigger(c)) hasJp = true
+      if (c == '@') mask |= 1
+      else if (Character.isDigit(c)) mask |= 2
+      else if (isJpTrigger(c)) mask |= 4
       i += 1
     }
-    names.filter { n =>
-      if (needsAt(n)) hasAt
-      else if (needsDigit(n)) hasDigit
-      else hasJp
-    }
+    mask
   }
+
+  private def filterByMask(names: Seq[String], mask: Int): Seq[String] =
+    names.filter { n =>
+      if (needsAt(n)) (mask & 1) != 0
+      else if (needsDigit(n)) (mask & 2) != 0
+      else (mask & 4) != 0
+    }
+
+  /** Per-(names, mask) prepared scan: the filtered pattern list and its
+    * compiled union, built once per combination — the per-ROW work is one
+    * cache lookup + array index, no collection allocation (at millions of
+    * rows per executor the old per-row `names.filter` was real garbage). */
+  private final class Prepared(val names: Seq[String], val pattern: Pattern)
+  private val preparedCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Array[Prepared]]()
+  private def prepared(names0: Seq[String], mask: Int): Prepared =
+    preparedCache.computeIfAbsent(names0, ns =>
+      Array.tabulate(8) { m =>
+        val f = filterByMask(ns, m)
+        new Prepared(f, if (f.isEmpty) null else union(f))
+      })(mask)
+
+  /** Drop patterns whose trigger char never occurs. */
+  def triggered(text: CharSequence, names: Seq[String]): Seq[String] =
+    prepared(names, triggerMask(text)).names
 
   /** One left-to-right pass; `aliasFor(kind, matchedText)` supplies the
     * replacement. Returns the scrubbed text, or NULL when nothing matched —
@@ -103,9 +123,10 @@ object Scrub {
   def scrubRaw(text: CharSequence, names0: Seq[String],
                aliasFor: (String, String) => String): String = {
     if (names0.isEmpty || text.length == 0) return null
-    val names = triggered(text, names0)
+    val prep = prepared(names0, triggerMask(text))
+    val names = prep.names
     if (names.isEmpty) return null
-    val m = matcherFor(union(names), text)
+    val m = matcherFor(prep.pattern, text)
     var sb: java.lang.StringBuilder = null
     var last = 0
     while (m.find()) {
@@ -260,9 +281,10 @@ object Scrub {
     * only where the merge needs them (kind + offsets + text decide). */
   def unionHits(text: String, names0: Seq[String]): Vector[Hit] = {
     if (names0.isEmpty || text.isEmpty) return Vector.empty
-    val names = triggered(text, names0)
+    val prep = prepared(names0, triggerMask(text))
+    val names = prep.names
     if (names.isEmpty) return Vector.empty
-    val m = matcherFor(union(names), text)
+    val m = matcherFor(prep.pattern, text)
     val out = Vector.newBuilder[Hit]
     while (m.find()) {
       var idx = 1

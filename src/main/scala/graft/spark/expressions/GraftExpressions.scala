@@ -30,7 +30,19 @@ object ExprHelpers {
   def fingerprint64(s: UTF8String): Long = TextDedup.fingerprint(s.toString)
   def simhash64(s: UTF8String): Long = TextDedup.simHash(s.toString)
 
+  // immutable singletons reused across rows (most web rows have zero hits;
+  // consumers copy map/string data into their UnsafeRow before the next
+  // row, so sharing is safe — the same contract Spark's own expressions use)
+  private val emptyMapData =
+    new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+      new GenericArrayData(Array.empty[Any]))
+  private val langU8 =
+    new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+  private def u8(s: String): UTF8String =
+    langU8.computeIfAbsent(s, UTF8String.fromString)
+
   private def strMap(m: collection.Map[String, String]): ArrayBasedMapData = {
+    if (m.isEmpty) return emptyMapData
     val k = new Array[Any](m.size)
     val v = new Array[Any](m.size)
     var i = 0
@@ -41,6 +53,7 @@ object ExprHelpers {
   }
 
   private def longMap(m: collection.Map[String, Long]): ArrayBasedMapData = {
+    if (m.isEmpty) return emptyMapData
     val k = new Array[Any](m.size)
     val v = new Array[Any](m.size)
     var i = 0
@@ -126,7 +139,7 @@ object ExprHelpers {
           m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
           m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
         return new GenericInternalRow(Array[Any](
-          UTF8String.fromString(l), c, p, q0,
+          u8(l), c, p, q0,
           UTF8String.fromString(r.scrubbed), strMap(r.aliases), longMap(r.counts),
           hitsArray(hits)))
       }
@@ -142,7 +155,7 @@ object ExprHelpers {
       m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
       m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(l), c, p, q,
+      u8(l), c, p, q,
       scrubbedOut, strMap(d.aliases), longMap(d.counts),
       hitsArray(Nil)))
   }
