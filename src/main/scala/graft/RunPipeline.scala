@@ -59,9 +59,7 @@ object RunPipeline {
     // A real long-running job is at steady state for all but its first
     // seconds; the driver-style single-shot run is the artificial case.
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
-      val spark0 = builder.getOrCreate()
-      spark0.sparkContext.setLogLevel("WARN")
-      Pipeline.run(spark0, spark0.read.parquet(in), conf)
+      Pipeline.run(spark, spark.read.parquet(in), conf)
         .write.format("noop").mode("overwrite").save()
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -80,7 +78,9 @@ object RunPipeline {
       s"""{"snapshot":"${report.snapshotId}","rows":${report.rows},""" +
         s""""keep_rows":${report.keepRows},"buckets_written":${report.bucketsWritten.size},""" +
         s""""buckets_skipped":${report.bucketsSkipped.size},"sec":$sec,"cpu_sec":$cpuSec,""" +
-        s""""docs_per_sec":${if (report.bucketsWritten.nonEmpty) report.rows / sec else 0.0}}""")
+        // throughput counts only rows THIS run wrote — a resumed run must
+        // not claim the whole table over its short wall time
+        s""""docs_per_sec":${if (report.bucketsWritten.nonEmpty) report.rowsWritten / sec else 0.0}}""")
     spark.stop()
   }
 }

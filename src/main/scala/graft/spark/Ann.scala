@@ -131,13 +131,17 @@ object Ann {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
-      else fs.listStatus(root).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    files.iterator.map { st =>
+    // recursive walk: partitioned datasets nest files under part=X/ dirs —
+    // a top-level-only listing would silently undercount them
+    def walk(st: org.apache.hadoop.fs.FileStatus): Iterator[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) Iterator.single(st)
+      else fs.listStatus(st.getPath).iterator
+        .filter { c =>
+          val n = c.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .flatMap(walk)
+    walk(fs.getFileStatus(root)).map { st =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try r.getRecordCount finally r.close()
     }.sum

@@ -62,13 +62,16 @@ object Dedup {
     // scale). Memory: one agg buffer holds k ids for a k-times-duplicated
     // page — 8 bytes/copy, fine to ~10^7 copies of a single page; beyond
     // that the page belongs to an upstream exact-dedup tier anyway.
-    // The collapsed relation is persisted (it feeds both the arcs and the
-    // banding) — it is the DISTINCT-text relation, far smaller than the
-    // input, and caching it is what makes the input scan happen once.
+    // The collapsed relation is materialized ONCE via a lazy local
+    // checkpoint: it feeds three consumers (arcs + both sides of the band
+    // self-join), and unlike persist() — whose CacheManager entry would
+    // leak per invocation for the life of the session — the checkpoint
+    // blocks are reclaimed by the ContextCleaner as soon as the caller
+    // drops the result.
     val grouped = df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
         collect_list(col(idCol)).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // star arcs for exact copies: rep = min id per digest, so rep < id
     val dupArcs = grouped
       .where(size(col("ids")) > 1)
@@ -184,10 +187,12 @@ object Dedup {
     // k²/2 bucket pairs — exact-collapse to a min-id representative in ONE
     // aggregation over ONE scan (collect_list carries the copy ids; star
     // arcs come from a narrow explode, not a second scan + vector join),
-    // persisted because it feeds both the arcs and the bucketing
+    // lazily local-checkpointed because it feeds the arcs and both sides
+    // of the bucket self-join (ContextCleaner reclaims the blocks; a
+    // persist() entry would leak per invocation)
     val grouped = df.groupBy(col(embCol).as("e"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dupArcs = grouped
       .where(size(col("ids")) > 1)
       .select(col("rep"), col("e"), explode(col("ids")).as("b"))

@@ -53,7 +53,10 @@ object IcebergishSink {
       bucketsWritten: Seq[Int],
       bucketsSkipped: Seq[Int],
       rows: Long,
-      keepRows: Long)
+      keepRows: Long,
+      /** rows written by THIS run only (resumed runs: just the todo
+        * buckets) — the correct numerator for this run's throughput. */
+      rowsWritten: Long)
 
   private def ledgerDir(out: String): Path = new Path(out, "_ledger")
   private def dataDir(out: String): Path = new Path(out, "data")
@@ -177,18 +180,30 @@ object IcebergishSink {
       }.sortBy(_.bucket)
   }
 
-  /** Commit-once metadata write: content to a `.tmp` sibling, then rename
-    * over the target. Atomic on HDFS/file; on S3A the rename is copy+delete
-    * but the file is only ever created once per commit (see object docs),
-    * so a torn write is re-runnable, never half-read. */
+  /** Commit-once metadata write: content to a `.tmp` sibling, then an
+    * ATOMIC-OVERWRITE rename over the target (FileContext + Rename.OVERWRITE
+    * — atomic on HDFS and local FS, so there is never a window where an
+    * already-committed file has been deleted but its replacement hasn't
+    * landed). Filesystems without a FileContext binding (e.g. s3a) fall
+    * back to delete+rename, which is safe HERE because every metadata file
+    * is commit-once (ledger entries and snapshot manifests are only ever
+    * created, see object docs) — the overwrite branch never fires there in
+    * normal operation. */
   private def writeAtomic(path: Path, content: String): Unit = {
     val fs = fsOf(path)
     val tmp = new Path(path.getParent, path.getName + ".tmp")
+    fs.mkdirs(path.getParent)
     val outS = fs.create(tmp, true)
     try outS.write(content.getBytes(UTF_8)) finally outS.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      sys.error(s"rename $tmp -> $path failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(path)) fs.delete(path, false)
+        if (!fs.rename(tmp, path))
+          sys.error(s"rename $tmp -> $path failed")
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -265,8 +280,10 @@ object IcebergishSink {
     }
 
     val lineage = readLineage(out)
+    val todoSet = todo.toSet
     val report = WriteReport(snapshotId, todo, done.toSeq.sorted,
-      lineage.map(_.rows).sum, lineage.map(_.keepRows).sum)
+      lineage.map(_.rows).sum, lineage.map(_.keepRows).sum,
+      lineage.filter(b => todoSet(b.bucket)).map(_.rows).sum)
     val files = lineage.map(b => s""""part_bucket=${b.bucket}"""").mkString("[", ",", "]")
     writeAtomic(new Path(new Path(out, "_snapshots"), s"snap-$snapshotId.json"),
       s"""{"snapshot_id":"$snapshotId","input_snapshot":"$inputSnapshot",""" +

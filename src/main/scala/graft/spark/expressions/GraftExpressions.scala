@@ -96,7 +96,11 @@ object ExprHelpers {
     def decode(u: UTF8String): graft.core.CharsView = {
       val nBytes = u.numBytes()
       if (chars.length < nBytes)
-        chars = new Array[Char](java.lang.Integer.highestOneBit(nBytes - 1) << 1)
+        // next power of two, overflow-safe for ~GiB-scale strings (the
+        // shifted value would wrap negative past 2^30 — grow exactly then)
+        chars = new Array[Char](
+          if (nBytes > (1 << 29)) nBytes
+          else java.lang.Integer.highestOneBit(nBytes - 1) << 1)
       val cb = java.nio.CharBuffer.wrap(chars)
       // getByteBuffer wraps the backing array without copying; off-heap
       // backed strings (unsupported there) fall back to a byte copy
@@ -127,21 +131,16 @@ object ExprHelpers {
     // ENHANCED security level (ner=true, main.py:241-245): one automaton
     // pass per row over the per-JVM default gazetteer model; its hits are
     // MERGED into the scrub span set (regex_hits.extend(ai_ner) semantics)
-    // and also emitted as the model_hits relation. This path materializes
-    // the String once (the automaton + merge work on Strings).
-    val d =
-      if (!ner) Scrub.scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv)
+    // and also emitted as the model_hits relation. That path materializes
+    // the String once (the automaton + merge work on Strings); the raw
+    // scrub result stays null-scrubbed ⇔ unchanged on BOTH paths so the
+    // single row assembly below forwards the input when nothing matched.
+    val (d, modelHits: Seq[graft.core.Hit]) =
+      if (!ner) (Scrub.scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv), Nil)
       else {
         val s = t.toString
         val hits = graft.spark.NerSlot.defaultModel.infer(Seq(s)).head
-        val r = Scrub.scrubWithModeNer(mode, s, keyB64, ns, policiesCsv, hits)
-        val q0 = new GenericInternalRow(Array[Any](
-          m.nChars, m.nWords, m.meanWordLen, m.stopwordRatio, m.symbolRatio,
-          m.dupLineFrac, m.dupWordFrac, m.alphaWordRatio, m.maxWordLen, m.cjkRatio))
-        return new GenericInternalRow(Array[Any](
-          u8(l), c, p, q0,
-          UTF8String.fromString(r.scrubbed), strMap(r.aliases), longMap(r.counts),
-          hitsArray(hits)))
+        (Scrub.scrubWithModeNer(mode, s, keyB64, ns, policiesCsv, hits), hits)
       }
     // unchanged scrub (scrubbed == null): forward the input UTF8String —
     // safe because the consuming projection copies the struct into its
@@ -157,7 +156,7 @@ object ExprHelpers {
     new GenericInternalRow(Array[Any](
       u8(l), c, p, q,
       scrubbedOut, strMap(d.aliases), longMap(d.counts),
-      hitsArray(Nil)))
+      hitsArray(modelHits)))
   }
 }
 

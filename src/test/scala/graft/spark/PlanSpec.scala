@@ -39,26 +39,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH exact-collapse scans the input relation once") {
     // the r2 shape scanned the corpus per subtree (md5 of every text twice
-    // + an id→rep join); the single-agg + persist shape must show exactly
-    // ONE parquet scan, with the second consumer reading the cached
-    // collapsed relation
+    // + an id→rep join); the single-agg + lazy-localCheckpoint shape must
+    // show ZERO direct parquet re-scans — every consumer (arcs + both
+    // sides of the band self-join) reads the one materialized collapsed
+    // relation (a LogicalRDD leaf)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Dedup.minHashLsh(docs, "doc_id", "text",
       shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5)
-    out.collect() // materialize so the cache + final adaptive plan exist
-    // count scan nodes in the OPTIMIZED LOGICAL plan: the parquet relation
-    // must appear once, every other consumer must hit the cached relation
+    assert(out.count() > 0)
     val logical = out.queryExecution.optimizedPlan
     val fileScans = logical.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }.length
-    val cacheScans = logical.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    val rddScans = logical.collect {
+      case m: org.apache.spark.sql.execution.LogicalRDD => m
     }.length
-    // all consumers go through the cached collapsed relation (its child
-    // materializes the one real parquet scan); no direct file re-scan
     assert(fileScans == 0, s"expected no direct parquet re-scan, got $fileScans:\n$logical")
-    assert(cacheScans >= 2, s"expected cached collapse reads, got $cacheScans:\n$logical")
+    assert(rddScans >= 2, s"expected shared collapsed-relation reads, got $rddScans:\n$logical")
   }
 
   test("customer dimension join is a broadcast hash join") {
