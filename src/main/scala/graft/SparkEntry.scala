@@ -442,6 +442,19 @@ object SparkEntry {
           floor(col("col.conf") * 100).cast("long").as("conf_centi"),
           col("col.reason"))),
 
+    // the FLAGSHIP at the ENHANCED security level: gazetteer model hits
+    // merged into the redaction, end-to-end twinned (same DataGen rows,
+    // same keep/drop chain, scrubbed_text reflects the merged spans)
+    "q_pipeline_enhanced" -> ((s, _) =>
+      Pipeline.run(s, DataGen.pages(s, 2000).toDF(),
+          Pipeline.Conf(security = Pipeline.SecurityLevel.Enhanced))
+        .drop("alias_dict", "n_hits", "quality", "model_hits")
+        .withColumn("warc_ms", unix_millis(col("warc_ts"))).drop("warc_ts")
+        .withColumn("conf_milli", floor(col("lang_conf") * 1000).cast("long"))
+        .drop("lang_conf")
+        .withColumn("ppl_centi", floor(col("ppl") * 100).cast("long"))
+        .drop("ppl")),
+
     "q_pipeline_dedup" -> ((s, _) =>
       Pipeline.runDeduped(s, DataGen.pages(s, 2000).toDF())
         .drop("alias_dict", "n_hits", "quality")
@@ -796,6 +809,11 @@ object SparkEntry {
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
+    "q_pipeline_enhanced" ->
+      ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
+        " drop_reason, scrubbed_text, warc_ms" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_enhanced.parquet')"),
 
     // the streaming run must converge to the BATCH pipeline's twin exactly
     "q_stream_pipeline" ->

@@ -274,6 +274,65 @@ def write(path, rs):
 
 write(f"{OUT}/pipeline.parquet", rows)
 
+# ---- ENHANCED variant: merged model-NER scrub (Scrub.scrubWithModeNer twin)
+import gzip
+HF2PII = {"PER": "name", "ORG": "org", "LOC": "address", "MISC": "misc"}
+DICT_TAG = {"email": "EMAIL", "phone": "PHONE", "amount": "AMOUNT", "id": "ID",
+            "address": "ADDRESS", "name": "PERSON", "org": "ORG", "misc": "MISC"}
+with gzip.open(f"{RES}/ner_gazetteer.tsv.gz", "rt", encoding="utf-8") as f:
+    ENTRIES = [(l.split("\t", 2)[0], l.split("\t", 2)[2].rstrip("\n"))
+               for l in f if l.strip()]
+
+def model_hits_of(text):
+    """NerSlot.infer twin: all occurrences of every gazetteer entry,
+    sorted by (start, end, reason, text)."""
+    hits = []
+    for label, e in ENTRIES:
+        i = text.find(e)
+        while i >= 0:
+            hits.append((HF2PII.get(label, "misc"), e, i, i + len(e),
+                         f"model:{label}"))
+            i = text.find(e, i + 1)
+    hits.sort(key=lambda h: (h[2], h[3], h[4], h[1]))
+    return hits
+
+def scrub_dict_enh(text):
+    """dict-mode merged scrub: regex spans FIRST (stable (start,-len) sort
+    means the rule hit wins identical spans), greedy span dedup, one splice."""
+    spans = []
+    for m in UNION.finditer(text):
+        idx = next(i for i, g in enumerate(m.groups(), start=1) if g is not None)
+        kind = FULL_ORDER[idx - 1][0]
+        spans.append((kind, m.group(0), m.start(), m.end()))
+    spans += [(k, t, s, e) for k, t, s, e, _ in model_hits_of(text)]
+    spans.sort(key=lambda h: (h[2], -(h[3] - h[2])))
+    out = []
+    last = 0
+    aliases = {}
+    per_tag = {}
+    last_end = -1
+    for kind, orig, s, e in spans:
+        if s < last_end:
+            continue
+        last_end = e
+        tag = DICT_TAG.get(kind, "PII")
+        key = (tag, orig)
+        if key not in aliases:
+            per_tag[tag] = per_tag.get(tag, 0) + 1
+            aliases[key] = f"<{tag}_{per_tag[tag]}>"
+        out.append(text[last:s])
+        out.append(aliases[key])
+        last = e
+    out.append(text[last:])
+    return "".join(out)
+
+rows_e = []
+for p in pages:
+    r = dict(score(*p))
+    r["scrubbed_text"] = scrub_dict_enh(p[2])  # keep/drop chain is identical
+    rows_e.append(r)
+write(f"{OUT}/pipeline_enhanced.parquet", rows_e)
+
 # dedup variant: representative = min url per fingerprint(text)
 by_fp = {}
 for p in pages:
