@@ -323,20 +323,23 @@ object Scrub {
     policyKindsCache.computeIfAbsent(policiesCsv,
       csv => csv.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
-  /** [[scrubWithMode]] with model-NER hits merged in — the ENHANCED
+  /** [[scrubWithModeRaw]] with model-NER hits merged in — the ENHANCED
     * security level's scrub (merge_with_ner, app/detectors.py:100-117).
+    * RAW contract: `scrubbed == null` ⇔ unchanged (only possible when no
+    * model hit survives the policy filter AND the rule union never fires),
+    * so the fused hot path can forward the input at ENHANCED too.
     * Model hits pass the same per-request policy filter as the rule
     * patterns (`hit.get("type") in policies`, app/main.py:250). Kinds the
     * reference aliases via Faker (name/address) use [[RefAlias]]'s branches;
     * org/misc take its fallback draw — total for every model kind. */
-  def scrubWithModeNer(mode: String, t: String, keyB64: String, ns: String,
-                       policiesCsv: String, modelHits0: Seq[Hit]): DictResult = {
+  def scrubWithModeNerRaw(mode: String, t: String, keyB64: String, ns: String,
+                          policiesCsv: String, modelHits0: Seq[Hit]): DictResult = {
     val modelHits =
       if (policiesCsv.isEmpty) modelHits0
       else { val ks = policyKinds(policiesCsv); modelHits0.filter(h => ks(h.kind)) }
     // no model hits ⇒ the merged pass degenerates to the plain union scan
     // (find() spans are already non-overlapping) — take the rule-only path
-    if (modelHits.isEmpty) return scrubWithMode(mode, t, keyB64, ns, policiesCsv)
+    if (modelHits.isEmpty) return scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv)
     val counts = mutable.Map.empty[String, Long]
     mode match {
       case "dict" =>
@@ -371,6 +374,13 @@ object Scrub {
         DictResult(s, dict.toMap, counts.toMap)
       case other => sys.error(s"unknown scrub mode: $other")
     }
+  }
+
+  /** String-total [[scrubWithModeNerRaw]]: unchanged ⇒ scrubbed = input. */
+  def scrubWithModeNer(mode: String, t: String, keyB64: String, ns: String,
+                       policiesCsv: String, modelHits0: Seq[Hit]): DictResult = {
+    val d = scrubWithModeNerRaw(mode, t, keyB64, ns, policiesCsv, modelHits0)
+    if (d.scrubbed == null) d.copy(scrubbed = t) else d
   }
 
   /** Line-scope tag scrub: the reference applies `_inline_replace_line` per

@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** How the collapsed (exact-dedup) relation is materialized for its
+    * multiple consumers (star arcs + both sides of the LSH self-join).
+    * Every choice is a real tradeoff — pick per deployment:
+    *  - [[Materialize.LocalCheckpoint]] (default): computed once, blocks
+    *    reclaimed by the ContextCleaner when the caller drops the result.
+    *    Lineage is truncated, so a lost executor (or dynamic-allocation
+    *    scale-down) FAILS the job instead of recomputing — right for local
+    *    mode and static-allocation batch jobs.
+    *  - [[Materialize.Persist]]: MEMORY_AND_DISK cache — recomputable on
+    *    executor loss, but the CacheManager entry outlives the call; a
+    *    long-lived session accumulates one cached copy per invocation
+    *    unless the caller uncaches. Right under dynamic allocation.
+    *  - [[Materialize.Recompute]]: no materialization; every consumer
+    *    re-runs the collapse (~3 input scans). Right when the caller
+    *    stages the collapsed relation to a table itself (the 100-TB
+    *    production shape). */
+  sealed trait Materialize
+  object Materialize {
+    case object LocalCheckpoint extends Materialize
+    case object Persist extends Materialize
+    case object Recompute extends Materialize
+  }
+
+  private def materialized(df: DataFrame, m: Materialize): DataFrame = m match {
+    case Materialize.LocalCheckpoint => df.localCheckpoint(false)
+    case Materialize.Persist =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    case Materialize.Recompute => df
+  }
+
   /** Representative per identical text: min(id) per md5(text). Returns
     * (id, n_copies) for every KEPT representative. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -51,7 +81,8 @@ object Dedup {
     * population the texts are better served by the exact/simhash tiers). */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.8, maxBandBucket: Int = 4096): DataFrame = {
+                 threshold: Double = 0.8, maxBandBucket: Int = 4096,
+                 materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     // Exact-collapse in ONE aggregation over ONE scan of the input:
     // groupBy(digest) keeps one text per digest already in the mapper's
     // partial aggregate (first() is deterministic — identical digest ⇒
@@ -62,16 +93,14 @@ object Dedup {
     // scale). Memory: one agg buffer holds k ids for a k-times-duplicated
     // page — 8 bytes/copy, fine to ~10^7 copies of a single page; beyond
     // that the page belongs to an upstream exact-dedup tier anyway.
-    // The collapsed relation is materialized ONCE via a lazy local
-    // checkpoint: it feeds three consumers (arcs + both sides of the band
-    // self-join), and unlike persist() — whose CacheManager entry would
-    // leak per invocation for the life of the session — the checkpoint
-    // blocks are reclaimed by the ContextCleaner as soon as the caller
-    // drops the result.
-    val grouped = df.groupBy(md5(col(textCol)).as("digest"))
-      .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
-        collect_list(col(idCol)).as("ids"))
-      .localCheckpoint(false)
+    // The collapsed relation feeds three consumers (arcs + both sides of
+    // the band self-join) — see [[Materialize]] for the one-computation
+    // vs recompute-on-failure vs cache-lifetime tradeoffs.
+    val grouped = materialized(
+      df.groupBy(md5(col(textCol)).as("digest"))
+        .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
+          collect_list(col(idCol)).as("ids")),
+      materialize)
     // star arcs for exact copies: rep = min id per digest, so rep < id
     val dupArcs = grouped
       .where(size(col("ids")) > 1)
@@ -172,7 +201,8 @@ object Dedup {
     * exact [[embeddingNearDups]]. nBits grows with log2(N) at scale. */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
                            minDotQ: Long, nBits: Int = 10, tables: Int = 6,
-                           seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+                           seed: Long = 42L, maxBucket: Int = 4096,
+                           materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     val head = df.select(col(embCol)).take(1)
     if (head.isEmpty)
       // schema of the empty result must match the non-empty branch exactly
@@ -187,12 +217,12 @@ object Dedup {
     // k²/2 bucket pairs — exact-collapse to a min-id representative in ONE
     // aggregation over ONE scan (collect_list carries the copy ids; star
     // arcs come from a narrow explode, not a second scan + vector join),
-    // lazily local-checkpointed because it feeds the arcs and both sides
-    // of the bucket self-join (ContextCleaner reclaims the blocks; a
-    // persist() entry would leak per invocation)
-    val grouped = df.groupBy(col(embCol).as("e"))
-      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
-      .localCheckpoint(false)
+    // materialized for the arcs + both sides of the bucket self-join —
+    // see [[Materialize]] for the tradeoffs
+    val grouped = materialized(
+      df.groupBy(col(embCol).as("e"))
+        .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids")),
+      materialize)
     val dupArcs = grouped
       .where(size(col("ids")) > 1)
       .select(col("rep"), col("e"), explode(col("ids")).as("b"))

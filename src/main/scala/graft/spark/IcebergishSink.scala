@@ -184,15 +184,15 @@ object IcebergishSink {
     * ATOMIC-OVERWRITE rename over the target (FileContext + Rename.OVERWRITE
     * — atomic on HDFS and local FS, so there is never a window where an
     * already-committed file has been deleted but its replacement hasn't
-    * landed). Filesystems without a FileContext binding (e.g. s3a) fall
-    * back to delete+rename, which is safe HERE because every metadata file
-    * is commit-once (ledger entries and snapshot manifests are only ever
-    * created, see object docs) — the overwrite branch never fires there in
-    * normal operation. */
+    * landed). s3a DOES bind a FileContext (fs.AbstractFileSystem.s3a.impl)
+    * and takes the same branch — its overwrite rename is internally
+    * copy+delete (not atomic), which is safe HERE because every metadata
+    * file is commit-once (ledger entries and snapshot manifests are only
+    * ever created, see object docs). The delete+rename fallback exists for
+    * filesystems with no FileContext binding at all. */
   private def writeAtomic(path: Path, content: String): Unit = {
     val fs = fsOf(path)
     val tmp = new Path(path.getParent, path.getName + ".tmp")
-    fs.mkdirs(path.getParent)
     val outS = fs.create(tmp, true)
     try outS.write(content.getBytes(UTF_8)) finally outS.close()
     try {

@@ -132,15 +132,15 @@ object ExprHelpers {
     // pass per row over the per-JVM default gazetteer model; its hits are
     // MERGED into the scrub span set (regex_hits.extend(ai_ner) semantics)
     // and also emitted as the model_hits relation. That path materializes
-    // the String once (the automaton + merge work on Strings); the raw
-    // scrub result stays null-scrubbed ⇔ unchanged on BOTH paths so the
+    // the String once (the automaton + merge work on Strings); the RAW
+    // scrub result stays null-scrubbed ⇔ unchanged on both paths, so the
     // single row assembly below forwards the input when nothing matched.
     val (d, modelHits: Seq[graft.core.Hit]) =
       if (!ner) (Scrub.scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv), Nil)
       else {
         val s = t.toString
         val hits = graft.spark.NerSlot.defaultModel.infer(Seq(s)).head
-        (Scrub.scrubWithModeNer(mode, s, keyB64, ns, policiesCsv, hits), hits)
+        (Scrub.scrubWithModeNerRaw(mode, s, keyB64, ns, policiesCsv, hits), hits)
       }
     // unchanged scrub (scrubbed == null): forward the input UTF8String —
     // safe because the consuming projection copies the struct into its

@@ -326,11 +326,11 @@ def scrub_dict_enh(text):
     out.append(text[last:])
     return "".join(out)
 
-rows_e = []
-for p in pages:
-    r = dict(score(*p))
-    r["scrubbed_text"] = scrub_dict_enh(p[2])  # keep/drop chain is identical
-    rows_e.append(r)
+# reuse the already-scored rows — only the scrub differs at ENHANCED
+# (the keep/drop chain is identical); rescoring would double the twin's
+# cost and create a second copy that could drift
+rows_e = [dict(r, scrubbed_text=scrub_dict_enh(p[2]))
+          for r, p in zip(rows, pages)]
 write(f"{OUT}/pipeline_enhanced.parquet", rows_e)
 
 # dedup variant: representative = min url per fingerprint(text)
