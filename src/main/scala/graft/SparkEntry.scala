@@ -183,6 +183,17 @@ object SparkEntry {
           sum(size(col("t")).cast("long")).as("total_tokens"),
           sum(length(col("text")).cast("long")).as("total_chars"))),
 
+    // vocabulary extraction (tokenizer-training prerequisite): corpus-wide
+    // term + document frequency with a min-count floor — ONE scan, one
+    // explode, one hash-agg (count-distinct expands to a partial-agg pair;
+    // both stages keep map-side combine)
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(toksCol).as("tok"))
+        .groupBy(col("tok")).agg(
+          count(lit(1)).as("term_freq"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .where(col("term_freq") >= 20)),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))),
@@ -227,6 +238,18 @@ object SparkEntry {
 
     "q_dup_simhash" -> ((s, dir) =>
       Dedup.simHashDups(docsDedup(s, dir), "doc_id", "text", maxDist = 3)),
+
+    // dedup CLUSTER assignment: distributed hash-min connected components
+    // over the MinHash-LSH edge set — the step that picks one
+    // representative per near-dup cluster. Oracle: DuckDB recursive CTE
+    // transitive closure over the same golden edge set.
+    "q_dup_components" -> ((s, dir) => {
+      val d = docsDedup(s, dir)
+      val edges = Dedup.minHashLsh(d, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.components(d.select(col("doc_id")), edges, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
 
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
@@ -593,6 +616,12 @@ object SparkEntry {
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
 
+    "q_vocab" -> ("WITH t AS (SELECT doc_id," +
+      " UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok" +
+      " FROM documents)" +
+      " SELECT tok, COUNT(*) AS term_freq, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq" +
+      " FROM t GROUP BY tok HAVING COUNT(*) >= 20"),
+
     "q_langdist" ->
       "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source",
 
@@ -788,6 +817,20 @@ object SparkEntry {
     // splitmix64 / float-product math bit-for-bit (tools/gen_expected.py)
     "q_dup_simhash" ->
       s"SELECT a, b, dist FROM read_parquet('$GoldenDir/expected_sf0.01/dup_simhash.parquet')",
+
+    // connected components via recursive transitive closure over the SAME
+    // golden edge set the Spark side mines; component = min reachable id.
+    // (Clusters are shallow/small by construction, so the closure stays
+    // tiny at oracle scale.)
+    "q_dup_components" -> ("WITH RECURSIVE ddocs AS (SELECT doc_id FROM documents" +
+      " UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 10 = 0" +
+      " UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0)," +
+      s" e AS (SELECT a, b FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash.parquet')" +
+      s" UNION ALL SELECT b, a FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash.parquet'))," +
+      " reach(src, dst) AS (SELECT doc_id, doc_id FROM ddocs" +
+      " UNION SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)" +
+      " SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component" +
+      " FROM reach GROUP BY src"),
     "q_dup_minhash" ->
       s"SELECT a, b, sim FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash.parquet')",
     "q_embed_neardup_lsh" ->

@@ -128,6 +128,51 @@ object Dedup {
     lshPairs.unionByName(dupArcs)
   }
 
+  /** Connected components over a near-dup edge set — the step that turns
+    * the pair relations ([[minHashLsh]], [[simHashDups]], ...) into a
+    * dedup CLUSTER assignment (keep one representative per component).
+    *
+    * Algorithm: distributed hash-min label propagation — every node starts
+    * labeled with itself; each round, a node's label becomes the min of its
+    * own and its neighbors' labels (one equi-join + one map-side-combining
+    * min-agg per round, both shuffle-friendly); stop when no label changed.
+    * Rounds = graph diameter, and near-dup components are SHALLOW by
+    * construction (exact copies arrive as star arcs around a min-id rep;
+    * LSH pairs connect near-identical texts), so convergence is a handful
+    * of rounds — the large-star/small-star variant only pays off on long
+    * chains that dedup graphs do not produce. `maxIters` is a backstop,
+    * not a tuning knob.
+    *
+    * Output: (id, component) for every node appearing in `nodes`, where
+    * component = min id reachable — singletons keep themselves. */
+  def components(nodes: DataFrame, edges: DataFrame,
+                 idCol: String = "id", aCol: String = "a", bCol: String = "b",
+                 maxIters: Int = 20): DataFrame = {
+    // symmetrize once; labels seeded from the node set
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(false) // reused every round; tiny vs the corpus
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // neighbor labels: join edge dst→its label, propose to src
+      val proposals = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val next = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("chg"))
+        .localCheckpoint(false) // truncate the per-round lineage growth
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 guaranteed
     * complete via the 4-chunk pigeonhole; larger maxDist would need more
     * chunks). Output: (a, b, dist) with a < b. */

@@ -197,4 +197,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byCos.head == byDot.head,
       s"cos=${byCos.mkString(",")} dot=${byDot.mkString(",")}")
   }
+
+  test("components: chains need multiple propagation rounds; singletons keep themselves") {
+    import spark.implicits._
+    // a 6-node chain (diameter 5 — forces >1 hash-min round), a triangle,
+    // and two singletons
+    val nodes = (1L to 11L).toDF("id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (6L, 5L), // chain 1-2-3-4-5-6
+      (8L, 7L), (9L, 8L), (7L, 9L)                      // triangle 7-8-9
+    ).toDF("a", "b")
+    val out = Dedup.components(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(i => assert(out(i) == 1L, s"chain node $i -> ${out(i)}"))
+    (7L to 9L).foreach(i => assert(out(i) == 7L, s"triangle node $i -> ${out(i)}"))
+    assert(out(10L) == 10L && out(11L) == 11L)
+    assert(out.size == 11)
+  }
 }
