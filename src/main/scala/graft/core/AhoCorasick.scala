@@ -56,8 +56,9 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     }
   }
 
-  /** All (patternIndex, endExclusive) matches in `text`. */
-  def findAll(text: String): Vector[(Int, Int)] = {
+  /** All (patternIndex, endExclusive) matches in `text`. CharSequence so
+    * the fused hot path scans its reused decode buffer directly. */
+  def findAll(text: CharSequence): Vector[(Int, Int)] = {
     val hits = Vector.newBuilder[(Int, Int)]
     var node = 0
     var i = 0

@@ -279,8 +279,8 @@ object Scrub {
     * resolution, but hits are collected instead of replaced — the input to
     * the ENHANCED merge path. conf/reason carry the rule-detector values
     * only where the merge needs them (kind + offsets + text decide). */
-  def unionHits(text: String, names0: Seq[String]): Vector[Hit] = {
-    if (names0.isEmpty || text.isEmpty) return Vector.empty
+  def unionHits(text: CharSequence, names0: Seq[String]): Vector[Hit] = {
+    if (names0.isEmpty || text.length == 0) return Vector.empty
     val prep = prepared(names0, triggerMask(text))
     val names = prep.names
     if (names.isEmpty) return Vector.empty
@@ -301,10 +301,10 @@ object Scrub {
     * listed FIRST: both sorts are stable, so at an identical (start, length)
     * the rule hit wins) and replaced in one splice. `modelHits` must carry
     * exact offsets into `text`. */
-  def scrubMerged(text: String, names: Seq[String], modelHits: Seq[Hit],
+  def scrubMerged(text: CharSequence, names: Seq[String], modelHits: Seq[Hit],
                   aliasFor: (String, String) => String): String = {
     val merged = dedupSpans(unionHits(text, names) ++ modelHits)
-    if (merged.isEmpty) return text
+    if (merged.isEmpty) return null // RAW contract: null ⇔ unchanged
     val sb = new java.lang.StringBuilder(text.length + 16)
     var last = 0
     merged.foreach { h =>
@@ -332,7 +332,7 @@ object Scrub {
     * patterns (`hit.get("type") in policies`, app/main.py:250). Kinds the
     * reference aliases via Faker (name/address) use [[RefAlias]]'s branches;
     * org/misc take its fallback draw — total for every model kind. */
-  def scrubWithModeNerRaw(mode: String, t: String, keyB64: String, ns: String,
+  def scrubWithModeNerRaw(mode: String, t: CharSequence, keyB64: String, ns: String,
                           policiesCsv: String, modelHits0: Seq[Hit]): DictResult = {
     val modelHits =
       if (policiesCsv.isEmpty) modelHits0

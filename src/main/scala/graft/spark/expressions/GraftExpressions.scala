@@ -131,16 +131,16 @@ object ExprHelpers {
     // ENHANCED security level (ner=true, main.py:241-245): one automaton
     // pass per row over the per-JVM default gazetteer model; its hits are
     // MERGED into the scrub span set (regex_hits.extend(ai_ner) semantics)
-    // and also emitted as the model_hits relation. That path materializes
-    // the String once (the automaton + merge work on Strings); the RAW
+    // and also emitted as the model_hits relation. The automaton and the
+    // merged scrub both scan the reused char view directly (hit text is
+    // the dictionary entry, never a substring of the input), and the RAW
     // scrub result stays null-scrubbed ⇔ unchanged on both paths, so the
     // single row assembly below forwards the input when nothing matched.
     val (d, modelHits: Seq[graft.core.Hit]) =
       if (!ner) (Scrub.scrubWithModeRaw(mode, t, keyB64, ns, policiesCsv), Nil)
       else {
-        val s = t.toString
-        val hits = graft.spark.NerSlot.defaultModel.infer(Seq(s)).head
-        (Scrub.scrubWithModeNerRaw(mode, s, keyB64, ns, policiesCsv, hits), hits)
+        val hits = graft.spark.NerSlot.defaultModel.hitsOf(t)
+        (Scrub.scrubWithModeNerRaw(mode, t, keyB64, ns, policiesCsv, hits), hits)
       }
     // unchanged scrub (scrubbed == null): forward the input UTF8String —
     // safe because the consuming projection copies the struct into its
