@@ -214,6 +214,12 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) =>
       graft.spark.WebOps.dedupLinesAcrossCorpus(docsDedup(s, dir), "doc_id", "text")),
 
+    // Gopher-style INTRA-document repetition removal: within one document
+    // a line (>=10 chars) survives only at its first occurrence — narrow,
+    // no shuffle (vs the corpus-level variant above)
+    "q_line_dedup_doc" -> ((s, dir) =>
+      graft.spark.WebOps.dedupLinesWithinDoc(docsDedup(s, dir), "text")),
+
     // UT1-style domain blocklist with parent-domain (subdomain) matching,
     // urls synthesized from doc_id so the oracle is pure arithmetic
     "q_url_filter" -> ((s, dir) => {
@@ -644,6 +650,17 @@ object SparkEntry {
       // docs whose every line was deduped survive with empty text
       " SELECT d.doc_id, COALESCE(r.text, '') AS text" +
       " FROM (SELECT DISTINCT doc_id FROM ddocs) d LEFT JOIN r USING (doc_id)"),
+
+    "q_line_dedup_doc" -> (dedupCte +
+      ", l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line," +
+      " UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM ddocs)" +
+      ", k AS (SELECT doc_id, line, line_no FROM l WHERE length(line) < 10" +
+      "  UNION ALL SELECT doc_id, line, line_no FROM" +
+      "  (SELECT doc_id, line, line_no," +
+      "   ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS rn" +
+      "   FROM l WHERE length(line) >= 10) WHERE rn = 1)" +
+      " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text" +
+      " FROM k GROUP BY doc_id"),
 
     // blocked iff host in {h3,h17}.example.test (any subdomain, via the
     // parent-domain walk) or the exact ads.h22.example.test host

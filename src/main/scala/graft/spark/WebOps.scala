@@ -51,6 +51,29 @@ object WebOps {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
+  /** Intra-document repeated-line removal — the TRANSFORM counterpart of
+    * the dup-lines quality metric (Gopher repetition handling): within one
+    * document, a line (≥ minLen chars) survives only at its first
+    * occurrence; short lines are exempt. Purely narrow per document (runs
+    * inside the scan stage at any scale). A linear-time primitive UDF, not
+    * a higher-order array expression: the array_position form is O(lines²)
+    * per document AND interpreted (excluded from codegen) — the same
+    * lesson as the ANN signature loops. */
+  private val dedupLinesUdf = org.apache.spark.sql.functions.udf {
+    (text: String, minLen: Int) =>
+      if (text == null) null
+      else {
+        val seen = new java.util.HashSet[String]()
+        text.split("\n", -1).iterator
+          .filter(l => l.length < minLen || seen.add(l))
+          .mkString("\n")
+      }
+  }
+
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+                          minLen: Int = 10): DataFrame =
+    df.withColumn(textCol, dedupLinesUdf(col(textCol), lit(minLen)))
+
   /** Host of a url (scheme-independent). */
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
