@@ -201,6 +201,13 @@ object SparkEntry {
     "q_langdist" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))),
 
+    // data mixing: deterministic per-language keep rates (en 50%, es 25%,
+    // ja keep-all, others default keep-all) — resume-stable, SQL-exact
+    "q_sample_mix" -> ((s, dir) =>
+      graft.spark.WebOps.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 500, "es" -> 250))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+
     "q_doclen_hist" -> ((s, dir) =>
       docs(s, dir).groupBy(floor(col("n_chars") / lit(100)).as("bucket"))
         .agg(count(lit(1)).as("n"))),
@@ -633,6 +640,12 @@ object SparkEntry {
 
     "q_doclen_hist" ->
       "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS n FROM documents GROUP BY bucket",
+
+    "q_sample_mix" ->
+      ("SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents" +
+        " WHERE (doc_id * 1103515245 + 12345) % 1000 <" +
+        " CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250 ELSE 1000 END" +
+        " GROUP BY lang"),
 
     "q_exact_dedup" -> (dedupCte +
       " SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies FROM ddocs GROUP BY md5(text)"),

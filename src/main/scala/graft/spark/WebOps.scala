@@ -74,6 +74,24 @@ object WebOps {
                           minLen: Int = 10): DataFrame =
     df.withColumn(textCol, dedupLinesUdf(col(textCol), lit(minLen)))
 
+  /** Deterministic stratified sampling — the data-MIXING op of a training
+    * pipeline (e.g. "50% of en crawl, all of ja"): a row survives iff a
+    * multiplicative hash of its id lands under the stratum's keep rate
+    * (per mille). Deterministic and engine-independent (plain integer
+    * arithmetic, no RNG state), so reruns/resumes pick the identical
+    * sample and an SQL oracle reproduces it exactly; purely narrow — the
+    * predicate pushes into the scan. Strata missing from `ratesMilli`
+    * default to keep-all. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       ratesMilli: Map[String, Int]): DataFrame = {
+    // LCG-style mixing keeps the product within Long for any realistic id
+    val bucket = pmod(col(idCol) * lit(1103515245L) + lit(12345L), lit(1000L))
+    val rate = ratesMilli.foldLeft(lit(1000): Column) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(bucket < rate)
+  }
+
   /** Host of a url (scheme-independent). */
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
