@@ -61,4 +61,42 @@ class WebOpsSpec extends AnyFunSuite {
     assert(kept == Set("https://ok.example/x", "https://notbad.example/x",
       "https://good.example/x"))
   }
+
+  test("intra-doc line dedup: first occurrence kept, short lines exempt, null safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "repeated body line here\nok\nrepeated body line here\nok\ntail text line"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = WebOps.dedupLinesWithinDoc(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // long line deduped within the doc; short "ok" kept both times
+    assert(out(1L) == "repeated body line here\nok\nok\ntail text line")
+    assert(out(2L) == "")
+    assert(out(3L) == null)
+    // intra-doc only: the same long line in ANOTHER doc is untouched
+    val two = Seq((1L, "same long line of text"), (2L, "same long line of text"))
+      .toDF("doc_id", "text")
+    assert(WebOps.dedupLinesWithinDoc(two, "text").where(col("text") =!= "").count() == 2)
+  }
+
+  test("stratified sample: per-stratum rates, default keep-all, deterministic") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "es" else "ja"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 500, "es" -> 0)
+    val out = WebOps.stratifiedSample(rows, "lang", "doc_id", rates)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("es", 0L) == 0L)               // rate 0 drops all
+    assert(byLang("ja") == 2000L)                          // unlisted: keep-all
+    val en = byLang("en")
+    assert(en > 350 && en < 650, s"en kept $en of 1000")   // ~50%
+    // deterministic: identical sample on rerun and under repartitioning
+    val again = WebOps.stratifiedSample(rows.repartition(13), "lang", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
