@@ -643,7 +643,7 @@ object SparkEntry {
 
     "q_sample_mix" ->
       ("SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents" +
-        " WHERE (doc_id * 1103515245 + 12345) % 1000 <" +
+        " WHERE ((doc_id % 100003) * 48271) % 100003 % 1000 <" +
         " CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250 ELSE 1000 END" +
         " GROUP BY lang"),
 

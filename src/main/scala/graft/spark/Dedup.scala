@@ -144,7 +144,16 @@ object Dedup {
     * not a tuning knob.
     *
     * Output: (id, component) for every node appearing in `nodes`, where
-    * component = min id reachable — singletons keep themselves. */
+    * component = min id reachable — singletons keep themselves. THROWS if
+    * the graph has not converged within `maxIters` rounds (a silent exit
+    * would let split clusters masquerade as distinct documents — no silent
+    * caps); raise `maxIters` for genuinely deep graphs.
+    *
+    * Caching: each round local-checkpoints its label table to truncate the
+    * iterative-join lineage. Superseded rounds are reclaimed by the
+    * ContextCleaner on GC, and a label row is 16 bytes, so the transient
+    * footprint is ≤ maxIters tiny tables — negligible next to the edge
+    * set, which is checkpointed once and reused every round. */
   def components(nodes: DataFrame, edges: DataFrame,
                  idCol: String = "id", aCol: String = "a", bCol: String = "b",
                  maxIters: Int = 20): DataFrame = {
@@ -170,6 +179,11 @@ object Dedup {
       labels = next.drop("chg")
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — graph diameter exceeds " +
+          "maxIters; raise it for deep near-dup chains")
     labels
   }
 

@@ -84,8 +84,15 @@ object WebOps {
     * default to keep-all. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        ratesMilli: Map[String, Int]): DataFrame = {
-    // LCG-style mixing keeps the product within Long for any realistic id
-    val bucket = pmod(col(idCol) * lit(1103515245L) + lit(12345L), lit(1000L))
+    // Lehmer permutation bucket: (id mod p)·48271 mod p is a bijection of
+    // [0, p) for prime p = 100003, so strided/sharded id schemes still
+    // spread across buckets (a bare affine map mod 1000 would alias every
+    // stride-200 scheme), rates resolve at true 1/1000 granularity (bias
+    // ≤ 3/100003 from p mod 1000), and the max intermediate is
+    // 100002·48271 ≈ 4.8e9 — overflow-safe under ANSI mode for any int64
+    // id, and byte-reproducible in plain SQL.
+    val bucket = pmod(pmod(pmod(col(idCol), lit(100003L)) * lit(48271L),
+      lit(100003L)), lit(1000L))
     val rate = ratesMilli.foldLeft(lit(1000): Column) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
