@@ -234,6 +234,29 @@ object Ann {
     df.withColumn("cell", assign(col(embCol)))
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED table — the cluster-scale
+    * form of [[ivfIndex]]: probes against [[readIndex]] become
+    * planning-time partition pruning (only the nprobe nearest cells' files
+    * are ever listed/read; PlanSpec pins the PartitionFilters). Centroids
+    * ride along as a one-row sidecar so the index is self-contained. */
+  def writeIndex(indexed: DataFrame, centroids: Array[Array[Float]],
+                 path: String): Unit = {
+    indexed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/data")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    Seq(centroids.map(_.toSeq).toSeq).toDF("centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** (indexed table, centroids) back from [[writeIndex]] output. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Array[Array[Float]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .head().getSeq[scala.collection.Seq[Float]](0).map(_.toArray).toArray
+    (spark.read.parquet(s"$path/data"), cents)
+  }
+
   /** IVF top-k: scan only the `nprobe` cells nearest the query, exact cosine
     * within them. Recall/latency tuned by (k-cells, nprobe). */
   def ivfTopK(indexed: DataFrame, idCol: String, embCol: String,

@@ -58,6 +58,29 @@ class PlanSpec extends AnyFunSuite {
     assert(rddScans >= 2, s"expected shared collapsed-relation reads, got $rddScans:\n$logical")
   }
 
+  test("persisted IVF index prunes cell partitions at planning time") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val rest = e.where(col("vec_id") =!= 0)
+    val cents = Ann.kmeansCentroids(rest, "embedding", k = 16)
+    val dir = Files.createTempDirectory("graft-ivf-index").toString
+    Ann.writeIndex(Ann.ivfIndex(rest, "embedding", cents), cents, dir)
+    val (indexed, cents2) = Ann.readIndex(spark, dir)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val top = Ann.ivfTopK(indexed, "vec_id", "embedding", cents2, q, 10, nprobe = 4)
+    // the cell predicate must reach the scan as a PARTITION filter (pruned
+    // directory listing), not a post-scan row filter
+    val scanLine = top.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"cell not in partition filters: $scanLine")
+    // and the pruned result equals the in-memory index path exactly
+    val direct = Ann.ivfTopK(Ann.ivfIndex(rest, "embedding", cents), "vec_id",
+      "embedding", cents, q, 10, nprobe = 4)
+    assert(top.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("customer dimension join is a broadcast hash join") {
     val plan = graft.SparkEntry.queries("q_join_agg")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
