@@ -87,6 +87,19 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact dedup: later copies of a normalized-text fingerprint
+    * are dropped as they arrive. `dropDuplicatesWithinWatermark` keeps the
+    * state BOUNDED — a fingerprint is only remembered within the watermark
+    * horizon (an unbounded `dropDuplicates` would grow state forever on an
+    * endless crawl). The batch twin is [[Pipeline.runDeduped]]'s collapse;
+    * this is its unbounded-input form. */
+  def dedupStream(pages: DataFrame, watermark: String = "2 hours"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .withColumn("fp", PiiFunctions.fingerprintUdf(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** File-source entry point: new parquet page files appearing under `path`
     * stream through the pipeline into partitioned parquet, checkpointed —
     * the streaming twin of the batch ledger resume. */

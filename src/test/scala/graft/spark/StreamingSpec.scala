@@ -83,4 +83,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 500L)
     assert(spark.table("keeprate").agg(sum("n_keep")).head().getLong(0) > 0L)
   }
+
+  test("streaming dedup drops later fingerprint copies with bounded state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = DataGen.pageFor(1L)
+    def at(minute: Long, url: String, text: String) =
+      base.copy(url = url, text = text,
+        warc_ts = new java.sql.Timestamp(1704067200000L + minute * 60000L))
+    val stream = MemoryStream[Page]
+    // same normalized text (fingerprint collides across whitespace runs),
+    // different urls — only the first arrival survives; a distinct text
+    // passes through
+    stream.addData(Seq(
+      at(0, "https://a.example/1", "shared   body text here"),
+      at(1, "https://a.example/2", "shared body  text here"),
+      at(2, "https://a.example/3", "a different body text entirely"),
+      at(3, "https://a.example/4", "shared body text here")))
+    val q = StreamingPipeline.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://a.example/1", "https://a.example/3"), kept)
+  }
 }
