@@ -319,6 +319,12 @@ object SparkEntry {
           lit(""" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""))
           .cast("long").as("n_bpe"))),
 
+    // tokenizer TRAINING: BPE merge-rule learning — distributed word-freq
+    // dict, deterministic driver-side merge loop (count desc, lexicographic
+    // tie-break); CPython twin recomputes the identical merge table
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.spark.BpeTrain.train(s, docs(s, dir), "text", numMerges = 50)),
+
     // input validation (op 1): size bounds + source allowlist, both
     // pushdown-friendly predicates
     "q_validate" -> ((s, dir) =>
@@ -826,6 +832,10 @@ object SparkEntry {
     "q_preview" ->
       ("SELECT doc_id, pos, kind, text, \"start\", \"end\", conf_centi, reason" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/preview.parquet')"),
+
+    "q_bpe_merges" ->
+      ("SELECT rank, \"left\", \"right\", freq FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/bpe_merges.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

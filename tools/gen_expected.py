@@ -474,6 +474,53 @@ print(f"wrote {OUT}/dup_simhash.parquet ({len(sh_rows)}), "
       f"dup_minhash.parquet ({len(mh_rows)})")
 
 # ---------------------------------------------------------------------------
+# q_bpe_merges expected: classic BPE merge learning over the word-frequency
+# dict (BpeTrain.learnMerges twin) — count desc, lexicographic tie-break.
+from collections import Counter
+
+def bpe_merges(word_freq, num):
+    words = [(list(w) + ["</w>"], n) for w, n in word_freq]
+    out = []
+    for rank in range(num):
+        counts = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + n
+        if not counts:
+            break
+        (l, r), freq = min(counts.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, l, r, freq))
+        nw = []
+        for syms, n in words:
+            b = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    b.append(l + r)
+                    i += 2
+                else:
+                    b.append(syms[i])
+                    i += 1
+            nw.append((b, n))
+        words = nw
+    return out
+
+wf = Counter()
+for _, t in rows:
+    wf.update(tokens(t))
+dict_items = sorted(((w, n) for w, n in wf.items() if n >= 2))
+merges = bpe_merges(dict_items, 50)
+pq.write_table(pa.table({
+    "rank": pa.array([m[0] for m in merges], pa.int32()),
+    "left": pa.array([m[1] for m in merges], pa.string()),
+    "right": pa.array([m[2] for m in merges], pa.string()),
+    "freq": pa.array([m[3] for m in merges], pa.int64()),
+}), f"{OUT}/bpe_merges.parquet")
+print(f"wrote {OUT}/bpe_merges.parquet ({len(merges)} rows)")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32
