@@ -325,6 +325,13 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       graft.spark.BpeTrain.train(s, docs(s, dir), "text", numMerges = 50)),
 
+    // LM TRAINING: distributed trigram counting (per-doc context reset,
+    // 8192-char cap) — the bounded (gram, n) relation is the entire
+    // sufficient statistic for the perplexity model; CPython twin
+    // recomputes the identical counts
+    "q_lm_train" -> ((s, dir) =>
+      graft.spark.LmTrain.gramCounts(docs(s, dir), "text")),
+
     // input validation (op 1): size bounds + source allowlist, both
     // pushdown-friendly predicates
     "q_validate" -> ((s, dir) =>
@@ -836,6 +843,10 @@ object SparkEntry {
     "q_bpe_merges" ->
       ("SELECT rank, \"left\", \"right\", freq FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/bpe_merges.parquet')"),
+
+    "q_lm_train" ->
+      ("SELECT gram, n FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/lm_train.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

@@ -52,19 +52,37 @@ object Perplexity {
 
   /** Train from corpus text with add-k interpolation of orders 3/2/1. */
   def train(corpus: String, k: Double = 0.1): PerplexityModel = {
-    val c3 = new Array[Int](A * A * A)
-    val c2 = new Array[Int](A * A)
-    val c1 = new Array[Int](A)
+    val c3 = new Array[Long](A * A * A)
     var p2 = SpaceSym
     var p1 = SpaceSym
-    var total = 0L
     corpus.foreach { ch =>
       val c0 = sym(ch)
       c3((p2 * A + p1) * A + c0) += 1
-      c2(p1 * A + c0) += 1
-      c1(c0) += 1
-      total += 1
       p2 = p1; p1 = c0
+    }
+    fromCounts(c3, k)
+  }
+
+  /** Build the model from trigram counts alone. Bigram/unigram counts and
+    * the total marginalize exactly from c3 (every char event increments all
+    * three orders with the same target symbol), so a trainer only has to
+    * aggregate the A^3 trigram cells — the shape the distributed trainer
+    * ([[graft.spark.LmTrain]]) exploits: a bounded (gram, n) relation is
+    * the entire sufficient statistic. */
+  def fromCounts(c3: Array[Long], k: Double = 0.1): PerplexityModel = {
+    require(c3.length == A * A * A, s"expected ${A * A * A} cells, got ${c3.length}")
+    val c2 = new Array[Long](A * A)
+    val c1 = new Array[Long](A)
+    var total = 0L
+    var i = 0
+    while (i < c3.length) {
+      val n = c3(i)
+      if (n != 0) {
+        c2(i % (A * A)) += n // idx = (p2*A + p1)*A + c0 → bigram = idx mod A^2
+        c1(i % A) += n
+        total += n
+      }
+      i += 1
     }
     val lp = new Array[Float](A * A * A)
     var i2 = 0

@@ -28,6 +28,17 @@ class PerplexityBankSpec extends AnyFunSuite {
       Perplexity.default.perplexity(en))
   }
 
+  test("trainer regenerates the committed ppl artifacts byte-identically") {
+    // guards the fromCounts refactor (trigram-marginalized bigram/unigram
+    // must give bit-equal floats to the original three-array trainer)
+    val bank = Perplexity.trainBank
+    for (lang <- Seq("en", "es", "de", "fr")) {
+      val committed = ModelIo.resource(s"/graft/ppl_$lang.lm").readAllBytes()
+      val retrained = ModelIo.writePpl(bank(lang))
+      assert(java.util.Arrays.equals(committed, retrained), lang)
+    }
+  }
+
   test("gibberish scores far above own-language natural text per model") {
     val junk = "#$%&*+=~^|@!?<>{}[]()" * 10
     samples.foreach { case (lang, text) =>

@@ -521,6 +521,28 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/bpe_merges.parquet ({len(merges)} rows)")
 
 # ---------------------------------------------------------------------------
+# q_lm_train expected: trigram counts over the corpus (LmTrain.gramCounts
+# twin) — per-document context reset to (space, space), 8192-char cap
+# mirroring the scorer, gram id = (p2*A + p1)*A + c0 with A=38.
+from twin_lib import ppl_sym
+
+LM_A = 38
+lm_counts = {}
+for _, t in rows:
+    p2 = p1 = 36
+    for ch in t[:8192]:
+        c0 = ppl_sym(ch)
+        g = (p2 * LM_A + p1) * LM_A + c0
+        lm_counts[g] = lm_counts.get(g, 0) + 1
+        p2, p1 = p1, c0
+lm_items = sorted(lm_counts.items())
+pq.write_table(pa.table({
+    "gram": pa.array([g for g, _ in lm_items], pa.int32()),
+    "n": pa.array([n for _, n in lm_items], pa.int64()),
+}), f"{OUT}/lm_train.parquet")
+print(f"wrote {OUT}/lm_train.parquet ({len(lm_items)} rows)")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32
