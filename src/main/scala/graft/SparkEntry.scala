@@ -332,6 +332,13 @@ object SparkEntry {
     "q_lm_train" -> ((s, dir) =>
       graft.spark.LmTrain.gramCounts(docs(s, dir), "text")),
 
+    // LANGID TRAINING: supervised (lang, gram, n) counts from the corpus'
+    // own labels — vocabulary-sized shuffle via Spark hash-agg (spillable),
+    // minCount prunes the hapax tail; CPython twin recomputes the counts
+    "q_langid_train" -> ((s, dir) =>
+      graft.spark.LangIdTrain.gramCounts(docs(s, dir), "lang", "text",
+        minCount = 5L)),
+
     // input validation (op 1): size bounds + source allowlist, both
     // pushdown-friendly predicates
     "q_validate" -> ((s, dir) =>
@@ -847,6 +854,10 @@ object SparkEntry {
     "q_lm_train" ->
       ("SELECT gram, n FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/lm_train.parquet')"),
+
+    "q_langid_train" ->
+      ("SELECT lang, gram, n FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/langid_train.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

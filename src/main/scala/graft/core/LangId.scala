@@ -113,7 +113,7 @@ object LangId {
     else (1 to 3).iterator.flatMap(k => t.sliding(k).filter(_.length == k))
   }
 
-  private[core] def packed(g: String): Long = {
+  private[graft] def packed(g: String): Long = {
     var key = g.length.toLong << 48
     var j = 0
     while (j < g.length) { key |= g.charAt(j).toLong << (j * 16); j += 1 }

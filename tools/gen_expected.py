@@ -543,6 +543,45 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/lm_train.parquet ({len(lm_items)} rows)")
 
 # ---------------------------------------------------------------------------
+# q_langid_train expected: supervised (lang, gram, n) counts over the corpus'
+# own lang labels (LangIdTrain.gramCounts twin) — per-doc LangId.normalize
+# (java lowercase, whitespace folded, sentinel spaces, 4096-char prefix),
+# char 1..3-grams, minCount=5.
+
+def langid_normalize(t):
+    out = [' ']
+    last = True
+    for c in t[:4096]:
+        lc = java_lower(c)
+        if is_java_ws(lc):
+            if not last:
+                out.append(' ')
+                last = True
+        else:
+            out.append(lc)
+            last = False
+    out.append(' ')  # unconditional trailing sentinel (matches the Scala)
+    return ''.join(out)
+
+lt_rows = duckdb.sql(
+    f"SELECT lang, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+).fetchall()
+lt_counts = {}
+for lang, t in lt_rows:
+    nt = langid_normalize(t)
+    for k in (1, 2, 3):
+        for i in range(len(nt) - k + 1):
+            key = (lang, nt[i:i + k])
+            lt_counts[key] = lt_counts.get(key, 0) + 1
+lt_items = sorted((k, n) for k, n in lt_counts.items() if n >= 5)
+pq.write_table(pa.table({
+    "lang": pa.array([k[0] for k, _ in lt_items], pa.string()),
+    "gram": pa.array([k[1] for k, _ in lt_items], pa.string()),
+    "n": pa.array([n for _, n in lt_items], pa.int64()),
+}), f"{OUT}/langid_train.parquet")
+print(f"wrote {OUT}/langid_train.parquet ({len(lt_items)} rows)")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32
