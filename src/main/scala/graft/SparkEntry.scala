@@ -339,6 +339,13 @@ object SparkEntry {
       graft.spark.LangIdTrain.gramCounts(docs(s, dir), "lang", "text",
         minCount = 5L)),
 
+    // DECONTAMINATION: mark docs sharing any 13-gram with a benchmark set
+    // (here: every 97th doc stands in for the eval set) — broadcast sorted
+    // hash array + one narrow corpus scan; CPython twin recomputes hits
+    "q_decontam" -> ((s, dir) =>
+      graft.spark.Decontam.run(docs(s, dir), "doc_id", "text",
+        docs(s, dir).where(col("doc_id") % 97 === 0), "text")),
+
     // input validation (op 1): size bounds + source allowlist, both
     // pushdown-friendly predicates
     "q_validate" -> ((s, dir) =>
@@ -858,6 +865,10 @@ object SparkEntry {
     "q_langid_train" ->
       ("SELECT lang, gram, n FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/langid_train.parquet')"),
+
+    "q_decontam" ->
+      ("SELECT doc_id, n_hits13, contaminated FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/decontam.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

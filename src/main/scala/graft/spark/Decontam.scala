@@ -1,0 +1,73 @@
+package graft.spark
+
+import graft.core.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the eval-leakage pass of a training-data
+  * pipeline (GPT-3/Llama-style): mark corpus documents that share any word
+  * k-shingle (k = 13 by convention) with a benchmark/eval set.
+  *
+  * Scale shape: the benchmark side is tiny (eval sets are MBs), so its
+  * distinct shingle hashes are collected under an explicit `maxShingles`
+  * bound (throws, never truncates) and shipped to executors as ONE sorted
+  * primitive `Array[Long]` broadcast — membership is a binary search with
+  * zero boxing. The corpus side is a single narrow scan: no shuffle, no
+  * join, no corpus-sized state; 100 TB streams through map tasks that each
+  * hold the benchmark array once.
+  *
+  * Shingle semantics are [[TextDedup.shingles]] (whitespace tokens,
+  * lowercase; a document shorter than k tokens contributes its whole text
+  * as one shingle) hashed with [[TextDedup.hash64]] — the same primitives
+  * the dedup operators use, so the CPython twin reuses its proven ports.
+  */
+object Decontam {
+
+  /** Distinct shingle hashes of one document. */
+  def shingleHashes(text: String, k: Int): Array[Long] =
+    TextDedup.shingles(text, k).map(TextDedup.hash64).distinct
+
+  /** Distinct benchmark shingle hashes, sorted for binary search. The
+    * collect is benchmark-sized; `maxShingles` makes the bound explicit. */
+  def benchmarkHashes(bench: DataFrame, textCol: String, k: Int,
+                      maxShingles: Int = 50000000): Array[Long] = {
+    import bench.sparkSession.implicits._
+    val hs = bench.select(col(textCol).cast("string")).as[String]
+      .flatMap(t => if (t == null) Iterator.empty[Long]
+                    else shingleHashes(t, k).iterator)
+      .distinct().collect()
+    require(hs.length <= maxShingles,
+      s"benchmark has ${hs.length} distinct shingles > maxShingles=" +
+        s"$maxShingles — raise the bound (hashes are driver-collected " +
+        "and broadcast)")
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** Per-document contamination relation: (idCol, n_hits13, contaminated)
+    * where n_hits13 counts the document's DISTINCT shingles found in the
+    * benchmark. One narrow pass over the corpus. */
+  def mark(docs: DataFrame, idCol: String, textCol: String,
+           benchHashes: Array[Long], k: Int): DataFrame = {
+    val b = docs.sparkSession.sparkContext.broadcast(benchHashes)
+    val hitsUdf = udf { t: String =>
+      if (t == null) 0L
+      else {
+        val sorted = b.value
+        var n = 0L
+        shingleHashes(t, k).foreach { h =>
+          if (java.util.Arrays.binarySearch(sorted, h) >= 0) n += 1
+        }
+        n
+      }
+    }
+    docs.select(col(idCol), hitsUdf(col(textCol)).as("n_hits13"))
+      .withColumn("contaminated", col("n_hits13") > 0)
+  }
+
+  /** End-to-end: benchmark hashes → broadcast → mark. */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame =
+    mark(docs, idCol, textCol,
+      benchmarkHashes(bench, benchTextCol, k), k)
+}

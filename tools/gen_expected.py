@@ -582,6 +582,29 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/langid_train.parquet ({len(lt_items)} rows)")
 
 # ---------------------------------------------------------------------------
+# q_decontam expected: 13-gram benchmark-collision marking (Decontam twin) —
+# benchmark = every 97th doc; per-doc DISTINCT shingle hashes vs the
+# benchmark's distinct hash set (shingles/hash64 are the proven dedup ports).
+DC_K = 13
+dc_bench = set()
+for d, t in rows:
+    if d % 97 == 0:
+        for s in set(shingles(t, DC_K)):
+            dc_bench.add(hash64(s))
+dc_rows = []
+for d, t in rows:
+    doc_hs = {hash64(s) for s in shingles(t, DC_K)}
+    nh = sum(1 for h in doc_hs if h in dc_bench)
+    dc_rows.append((d, nh, nh > 0))
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in dc_rows], pa.int64()),
+    "n_hits13": pa.array([r[1] for r in dc_rows], pa.int64()),
+    "contaminated": pa.array([r[2] for r in dc_rows], pa.bool_()),
+}), f"{OUT}/decontam.parquet")
+print(f"wrote {OUT}/decontam.parquet "
+      f"({sum(1 for r in dc_rows if r[2])} contaminated of {len(dc_rows)})")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32
