@@ -105,7 +105,7 @@ object SparkEntry {
   // whitespace tokens of lower(text), empties dropped — Spark expression twin
   // of DuckDB `list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')`
   private def toksCol: Column =
-    filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+    graft.spark.PiiFunctions.tokensCol(col("text"))
 
   private val stopList: Seq[String] = Quality.Stopwords.toSeq.sorted
   private val stopSqlList: String = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -323,7 +323,7 @@ object SparkEntry {
     // dict, deterministic driver-side merge loop (count desc, lexicographic
     // tie-break); CPython twin recomputes the identical merge table
     "q_bpe_merges" -> ((s, dir) =>
-      graft.spark.BpeTrain.train(s, docs(s, dir), "text", numMerges = 50)),
+      graft.spark.BpeTrain.train(docs(s, dir), "text", numMerges = 50)),
 
     // LM TRAINING: distributed trigram counting (per-doc context reset,
     // 8192-char cap) — the bounded (gram, n) relation is the entire

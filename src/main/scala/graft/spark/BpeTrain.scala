@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** BPE merge-rule training over a corpus — the tokenizer-training stage of
@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * word-frequency aggregation — is distributed (one explode + hash-agg
   * with map-side combine over any number of documents); the merge loop
   * then runs single-node over the WORD-FREQUENCY DICT, which is vocabulary
-  * -sized (≈10^5–10^7 types for web text), not corpus-sized. `maxTypes`
-  * bounds the driver collect explicitly (no silent cap — it throws), and
-  * `minCount` prunes the hapax tail that merge counting cannot use anyway.
+  * -sized (≈10^5–10^7 types for web text), not corpus-sized. The collect
+  * is capped BEFORE it runs (`limit(maxTypes + 1)` — at most one excess
+  * row crosses to the driver, then the bound throws; no silent cap and no
+  * unbounded materialization), and `minCount` prunes the hapax tail that
+  * merge counting cannot use anyway.
   *
   * Deterministic: ties on pair frequency break lexicographically, so the
   * learned merge table is byte-reproducible (CPython twin in
@@ -23,22 +25,35 @@ import org.apache.spark.sql.functions._
 object BpeTrain {
 
   /** Distributed word-frequency dict: lowercase whitespace tokens
-    * (Quality.tokens semantics). */
+    * (the shared `Quality.tokens` Spark expression). */
   def wordCounts(df: DataFrame, textCol: String, minCount: Long = 2L): DataFrame =
-    df.select(explode(
-        filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))).as("w"))
+    df.select(explode(PiiFunctions.tokensCol(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
 
+  /** Word → symbol sequence: one symbol per CODE POINT (a supplementary
+    * char must stay one symbol — splitting surrogates would learn invalid
+    * half-char merges and diverge from the code-point-based twin). */
+  private[spark] def symbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Classic BPE merge learning over a word-frequency dict: every word is
-    * a char-symbol sequence + an end-of-word sentinel; each round merges
-    * the most frequent adjacent symbol pair (count desc, then pair
+    * a symbol sequence + an end-of-word sentinel; each round merges the
+    * most frequent adjacent symbol pair (count desc, then pair
     * lexicographic). Returns (rank, left, right, freq). */
   def learnMerges(wordFreq: Seq[(String, Long)],
                   numMerges: Int): Seq[(Int, String, String, Long)] = {
     val Eow = "</w>"
     var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
-      (w.map(_.toString).toArray :+ Eow, n)
+      (symbols(w) :+ Eow, n)
     }.toArray
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
@@ -58,11 +73,20 @@ object BpeTrain {
         val ((l, r), freq) = counts.minBy { case ((a, b), n) => (-n, a, b) }
         out += ((rank, l, r, freq))
         val merged = l + r
-        words = words.map { case (syms, n) =>
-          if (syms.length < 2) (syms, n)
+        words = words.map { case entry @ (syms, n) =>
+          // most words don't contain the merged pair — detect in a cheap
+          // scan and keep the existing array untouched (no per-word
+          // allocation per round for the unaffected majority)
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) hit = true
+            i += 1
+          }
+          if (!hit) entry
           else {
             val b = Array.newBuilder[String]
-            var i = 0
+            i = 0
             while (i < syms.length) {
               if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
                 b += merged; i += 2
@@ -78,17 +102,20 @@ object BpeTrain {
   }
 
   /** End-to-end: distributed dict → driver merge loop → merges relation. */
-  def train(spark: SparkSession, df: DataFrame, textCol: String,
-            numMerges: Int, minCount: Long = 2L,
-            maxTypes: Int = 1000000): DataFrame = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L, maxTypes: Int = 1000000): DataFrame = {
     val wc = wordCounts(df, textCol, minCount)
-    val types = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+    // cap the transfer BEFORE collecting: at most maxTypes+1 rows reach
+    // the driver, so the bound fires as an exception, not an OOM
+    val types = wc.limit(maxTypes + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     require(types.length <= maxTypes,
-      s"word dict has ${types.length} types > maxTypes=$maxTypes — raise the " +
-        "bound or minCount (the merge loop is driver-side over the dict)")
+      s"word dict exceeds maxTypes=$maxTypes — raise the bound or " +
+        "minCount (the merge loop is driver-side over the dict)")
     // collect order is partition-dependent; the loop's tie-break makes the
     // result order-independent, but sort anyway so the input is canonical
     val dict = types.sortBy(t => (t._1, t._2)).toSeq
+    val spark = df.sparkSession
     import spark.implicits._
     learnMerges(dict, numMerges).toDF("rank", "left", "right", "freq")
   }

@@ -32,14 +32,15 @@ object Decontam {
   def benchmarkHashes(bench: DataFrame, textCol: String, k: Int,
                       maxShingles: Int = 50000000): Array[Long] = {
     import bench.sparkSession.implicits._
+    // cap the transfer BEFORE collecting: at most maxShingles+1 rows reach
+    // the driver, so the bound fires as an exception, not an OOM
     val hs = bench.select(col(textCol).cast("string")).as[String]
       .flatMap(t => if (t == null) Iterator.empty[Long]
                     else shingleHashes(t, k).iterator)
-      .distinct().collect()
+      .distinct().limit(maxShingles + 1).collect()
     require(hs.length <= maxShingles,
-      s"benchmark has ${hs.length} distinct shingles > maxShingles=" +
-        s"$maxShingles — raise the bound (hashes are driver-collected " +
-        "and broadcast)")
+      s"benchmark exceeds maxShingles=$maxShingles distinct shingles — " +
+        "raise the bound (hashes are driver-collected and broadcast)")
     java.util.Arrays.sort(hs)
     hs
   }

@@ -44,6 +44,9 @@ object LangIdTrain {
     * smoothing over the union vocabulary, packed-key sorted layout —
     * the same math as `LangId.train`. */
   def fromCounts(rows: Seq[(String, String, Long)]): LangIdModel = {
+    require(rows.nonEmpty,
+      "empty gram relation — nothing to train on (all text null/empty, or " +
+        "minCount pruned every gram); a zero-language model cannot classify")
     val langs = rows.map(_._1).distinct.sorted.toVector
     val li = langs.zipWithIndex.toMap
     val counts = langs.map(_ => scala.collection.mutable.HashMap.empty[String, Long]).toArray
@@ -78,9 +81,12 @@ object LangIdTrain {
     * the smoothing totals (a documented, consistent deviation). */
   def train(df: DataFrame, langCol: String, textCol: String,
             minCount: Long = 1L, maxGrams: Int = 2000000): LangIdModel = {
-    val collected = gramCounts(df, langCol, textCol, minCount).collect()
+    // cap the transfer BEFORE collecting: at most maxGrams+1 rows reach
+    // the driver, so the bound fires as an exception, not an OOM
+    val collected =
+      gramCounts(df, langCol, textCol, minCount).limit(maxGrams + 1).collect()
     require(collected.length <= maxGrams,
-      s"gram relation has ${collected.length} rows > maxGrams=$maxGrams — " +
+      s"gram relation exceeds maxGrams=$maxGrams — " +
         "raise the bound or minCount (model assembly is driver-side)")
     fromCounts(collected.toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getLong(2))))

@@ -3,7 +3,7 @@ package graft.spark
 import graft.core._
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{filter, lit, lower, split, udf}
 
 /** Column-level surface for the core text operators.
   *
@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions.udf
   * serializing it into every task closure.
   */
 object PiiFunctions {
+
+  /** Whitespace tokens of a text column, lowercased, empties dropped —
+    * the Spark-expression twin of `Quality.tokens` (and of the DuckDB
+    * oracle form `list_filter(string_split_regex(lower(text), '\s+'), ...)`).
+    * The ONE shared definition: SparkEntry's relational queries and the
+    * trainers must tokenize identically or twin parity silently drifts. */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
 
   /** detect_pii: full detector stack → array<struct Hit>. */
   val detectAllUdf = udf((text: String) =>

@@ -33,6 +33,14 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m1 == m2 && m1.head == ((0, "a", "b", 1L)))
   }
 
+  test("symbols split by code point — surrogate pairs stay one symbol") {
+    assert(BpeTrain.symbols("ok😀").toSeq == Seq("o", "k", "😀"))
+    // a merge learned over a non-BMP word must keep the emoji whole:
+    // all pairs tie at freq 3, lexicographic tie-break picks (k, 😀)
+    val merges = BpeTrain.learnMerges(Seq("ok😀" -> 3L), 1)
+    assert(merges.head == ((0, "k", "😀", 3L)))
+  }
+
   test("merge loop stops when no adjacent pairs remain") {
     // single-char word: one pair (x, </w>), then nothing left to merge
     val merges = BpeTrain.learnMerges(Seq("x" -> 3L), 10)
