@@ -48,55 +48,74 @@ object BpeTrain {
   /** Classic BPE merge learning over a word-frequency dict: every word is
     * a symbol sequence + an end-of-word sentinel; each round merges the
     * most frequent adjacent symbol pair (count desc, then pair
-    * lexicographic). Returns (rank, left, right, freq). */
+    * lexicographic). Returns (rank, left, right, freq).
+    *
+    * Incremental (how HF tokenizers runs the same loop): pair counts and a
+    * pair→words index are built once; each round selects the best pair in
+    * one O(distinct pairs) scan and rewrites ONLY the words containing it,
+    * updating counts by word-local deltas — no full-dict recount per
+    * round. Selection by total order (count desc, pair lexicographic) is
+    * iteration-order independent, so results are identical to the naive
+    * recount form (the CPython twin). */
   def learnMerges(wordFreq: Seq[(String, Long)],
                   numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
     val Eow = "</w>"
-    var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+    val words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
       (symbols(w) :+ Eow, n)
     }.toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addWord(idx: Int, syms: Array[String], n: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + n)
+        where.getOrElseUpdate(k, mutable.HashSet.empty) += idx
+        i += 1
+      }
+    }
+    def removeWord(idx: Int, syms: Array[String], n: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val left = counts(k) - n
+        if (left == 0L) { counts.remove(k); where.remove(k) }
+        else {
+          counts.update(k, left)
+          where(k) -= idx
+        }
+        i += 1
+      }
+    }
+
+    words.zipWithIndex.foreach { case ((syms, n), idx) => addWord(idx, syms, n) }
+
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
-    var done = false
-    while (rank < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, n) =>
+    while (rank < numMerges && counts.nonEmpty) {
+      val ((l, r), freq) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      out += ((rank, l, r, freq))
+      val merged = l + r
+      // snapshot: updating the index while rewriting mutates `where`
+      val affected = where((l, r)).toArray
+      java.util.Arrays.sort(affected) // determinism of count arithmetic order
+      affected.foreach { idx =>
+        val (syms, n) = words(idx)
+        removeWord(idx, syms, n)
+        val b = Array.newBuilder[String]
         var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + n)
-          i += 1
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += merged; i += 2
+          } else { b += syms(i); i += 1 }
         }
+        val next = b.result()
+        words(idx) = (next, n)
+        addWord(idx, next, n)
       }
-      if (counts.isEmpty) done = true
-      else {
-        val ((l, r), freq) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-        out += ((rank, l, r, freq))
-        val merged = l + r
-        words = words.map { case entry @ (syms, n) =>
-          // most words don't contain the merged pair — detect in a cheap
-          // scan and keep the existing array untouched (no per-word
-          // allocation per round for the unaffected majority)
-          var hit = false
-          var i = 0
-          while (!hit && i < syms.length - 1) {
-            if (syms(i) == l && syms(i + 1) == r) hit = true
-            i += 1
-          }
-          if (!hit) entry
-          else {
-            val b = Array.newBuilder[String]
-            i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                b += merged; i += 2
-              } else { b += syms(i); i += 1 }
-            }
-            (b.result(), n)
-          }
-        }
-        rank += 1
-      }
+      rank += 1
     }
     out.result()
   }
