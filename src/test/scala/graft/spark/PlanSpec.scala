@@ -136,4 +136,37 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("decontamination marking is a single narrow stage — zero Exchange") {
+    // benchmark membership travels as a broadcast variable inside the UDF,
+    // never as a join: the corpus-side plan must not shuffle
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val marked = Decontam.mark(docs, "doc_id", "text",
+      Array(1L, 2L, 3L), k = 13)
+    val plan = marked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decontam plan shuffles:\n$plan")
+  }
+
+  test("LM-training gram relation shuffles pre-combined partials once") {
+    // the mapPartitions fold emits ≤ A^3 rows per partition; the plan must
+    // show exactly ONE Exchange (the bounded final-agg shuffle), with a
+    // partial aggregate below it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = LmTrain.gramCounts(docs, "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one bounded shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"no map-side partial aggregate below the shuffle:\n$plan")
+  }
+
+  test("langid-training scan prunes to the lang and text columns") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = LangIdTrain.gramCounts(docs, "lang", "text")
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("lang") && scan.contains("text"), scan)
+    assert(!scan.contains("source") && !scan.contains("n_chars"),
+      s"unused columns not pruned from scan: $scan")
+  }
 }
