@@ -339,6 +339,14 @@ object SparkEntry {
       graft.spark.LangIdTrain.gramCounts(docs(s, dir), "lang", "text",
         minCount = 5L)),
 
+    // QUALITY-CLASSIFIER TRAINING: closed-form class-weighted ridge
+    // least-squares distillation of the heuristic keep/drop cascade — one
+    // corpus pass emits exact integer sufficient statistics (90 decimal
+    // sums), driver solves 12x12; CPython twin recomputes the identical
+    // weights bit-for-bit
+    "q_quality_train" -> ((s, dir) =>
+      graft.spark.QualityTrain.trainRelation(docs(s, dir), "text")),
+
     // DECONTAMINATION: mark docs sharing any 13-gram with a benchmark set
     // (here: every 97th doc stands in for the eval set) — broadcast sorted
     // hash array + one narrow corpus scan; CPython twin recomputes hits
@@ -869,6 +877,10 @@ object SparkEntry {
     "q_decontam" ->
       ("SELECT doc_id, n_hits13, contaminated FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/decontam.parquet')"),
+
+    "q_quality_train" ->
+      ("SELECT feature, w_micro FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/quality_train.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

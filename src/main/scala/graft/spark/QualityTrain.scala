@@ -1,0 +1,181 @@
+package graft.spark
+
+import graft.core.{Perplexity, Quality}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trained quality classifier — distilled from the heuristic rule cascade
+  * (how CCNet/RedPajama-style pipelines bootstrap a cheap learned filter
+  * from rule/LLM labels): a class-weighted ridge least-squares separator
+  * over the pipeline's own quality signals, labels = `Quality.decide`.
+  *
+  * Closed form, ONE corpus pass: the per-row work emits exact integer
+  * sufficient statistics (the upper triangle of cw·x·xᵀ plus cw·x·y over
+  * quantized integer features), aggregated as DECIMAL(38,0) sums — exact
+  * and ORDER-INDEPENDENT, so the learned weights do not depend on
+  * partitioning (pinned by test) and match the CPython twin bit-for-bit.
+  * The 12×12 normal equations are then solved on the driver with
+  * partial-pivot Gaussian elimination whose operation order the twin
+  * mirrors exactly (doubles are IEEE-deterministic given the same ops).
+  *
+  * Scale shape: featurization (metrics + perplexity per doc) is the only
+  * corpus-sized work — a narrow map pass feeding a 90-cell aggregate with
+  * map-side partial sums; nothing per-doc is shuffled or collected. The
+  * drop class is up-weighted (integer `dropClassWeight`) because quality
+  * filters are imbalanced (~9% drops here) and an unweighted regression
+  * collapses to the majority class.
+  */
+object QualityTrain {
+
+  val FeatureNames: Vector[String] = Vector("bias", "chars", "words",
+    "mean_wlen", "stop", "sym", "dup_line", "dup_word", "alpha", "max_wlen",
+    "cjk", "ppl")
+  val NF: Int = FeatureNames.length
+  private val NS = NF * (NF + 1) / 2 + NF // packed upper triangle + b
+
+  /** Integer feature vector (milli-scaled ratios, capped counts) + the
+    * heuristic keep/drop label. Quantization uses only floor/min/integer
+    * division — twin-exact. */
+  def featurize(text: String, ppl: Double): (Array[Long], Int) = {
+    val m = Quality.metrics(text)
+    val y = if (Quality.decide(m, ppl)._1) 1 else 0
+    val f = new Array[Long](NF)
+    f(0) = 1000L
+    f(1) = math.min(m.nChars, 100000L) / 100L
+    f(2) = math.min(m.nWords, 20000L) / 20L
+    f(3) = math.min(math.floor(m.meanWordLen * 50.0).toLong, 1000L)
+    f(4) = math.floor(m.stopwordRatio * 1000.0).toLong
+    f(5) = math.floor(m.symbolRatio * 1000.0).toLong
+    f(6) = math.floor(m.dupLineFrac * 1000.0).toLong
+    f(7) = math.floor(m.dupWordFrac * 1000.0).toLong
+    f(8) = math.floor(m.alphaWordRatio * 1000.0).toLong
+    f(9) = math.min(m.maxWordLen, 1000L)
+    f(10) = math.floor(m.cjkRatio * 1000.0).toLong
+    f(11) = math.min(math.floor(ppl).toLong, 1000L)
+    (f, y)
+  }
+
+  /** Featurized relation: (f array<long>, y int). One corpus pass. */
+  def features(docs: DataFrame, textCol: String): DataFrame = {
+    val bModel = docs.sparkSession.sparkContext.broadcast(Perplexity.default)
+    val featUdf = udf { t: String =>
+      val text = if (t == null) "" else t
+      featurize(text, bModel.value.perplexity(text))
+    }
+    docs.select(featUdf(col(textCol)).as("fy"))
+      .select(col("fy._1").as("f"), col("fy._2").as("y"))
+  }
+
+  /** Learned decision: keep iff w·f ≥ 0 (raw integer features). */
+  def predictKeep(w: Array[Double], f: Array[Long]): Boolean = {
+    var z = 0.0
+    var j = 0
+    while (j < NF) { z += w(j) * f(j); j += 1 }
+    z >= 0.0
+  }
+
+  /** Closed-form training. `ridge` must be > 0 (constant feature columns
+    * make the unregularized normal matrix singular). */
+  def train(docs: DataFrame, textCol: String, dropClassWeight: Long = 5L,
+            ridge: Double = 1.0): Array[Double] = {
+    require(ridge > 0.0, "ridge must be > 0 — the normal matrix is " +
+      "singular when a feature is constant (e.g. the bias column)")
+    val feats = features(docs, textCol)
+    val statUdf = udf { (f: Seq[Long], y: Int) =>
+      val ty = 2L * y - 1L
+      val cw = if (y == 1) 1L else dropClassWeight
+      val out = new Array[Long](NS)
+      var idx = 0
+      var j = 0
+      while (j < NF) {
+        var k = j
+        while (k < NF) { out(idx) = cw * f(j) * f(k); idx += 1; k += 1 }
+        j += 1
+      }
+      j = 0
+      while (j < NF) { out(idx) = cw * f(j) * ty; idx += 1; j += 1 }
+      out
+    }
+    val aggs = (0 until NS).map(i =>
+      sum(element_at(col("s"), i + 1).cast(DecimalType(38, 0))).as(s"s$i"))
+    val row = feats.select(statUdf(col("f"), col("y")).as("s"))
+      .agg(aggs.head, aggs.tail: _*).head()
+    // unpack to doubles with fixed normalization (features are milli-scale);
+    // exact integer -> nearest double, same rounding as CPython float(int)
+    val a = Array.ofDim[Double](NF, NF)
+    var idx = 0
+    var j = 0
+    while (j < NF) {
+      var k = j
+      while (k < NF) {
+        val v = row.getDecimal(idx).doubleValue() / 1.0e6
+        a(j)(k) = v; a(k)(j) = v
+        idx += 1; k += 1
+      }
+      j += 1
+    }
+    val b = new Array[Double](NF)
+    j = 0
+    while (j < NF) {
+      b(j) = row.getDecimal(idx).doubleValue() / 1.0e3
+      idx += 1; j += 1
+    }
+    j = 0
+    while (j < NF) { a(j)(j) = a(j)(j) + ridge; j += 1 }
+    solveInPlace(a, b)
+  }
+
+  /** Partial-pivot Gaussian elimination, operation-for-operation the same
+    * loop as the CPython twin (strict `>` pivot compare, row swap, forward
+    * eliminate from the pivot column, back-substitute). Mutates its
+    * arguments; returns the solution. */
+  private[spark] def solveInPlace(m: Array[Array[Double]],
+                                  v: Array[Double]): Array[Double] = {
+    val n = v.length
+    var colI = 0
+    while (colI < n) {
+      var piv = colI
+      var r = colI + 1
+      while (r < n) {
+        if (math.abs(m(r)(colI)) > math.abs(m(piv)(colI))) piv = r
+        r += 1
+      }
+      val tr = m(colI); m(colI) = m(piv); m(piv) = tr
+      val tv = v(colI); v(colI) = v(piv); v(piv) = tv
+      val d = m(colI)(colI)
+      r = colI + 1
+      while (r < n) {
+        val fac = m(r)(colI) / d
+        var k = colI
+        while (k < n) { m(r)(k) = m(r)(k) - fac * m(colI)(k); k += 1 }
+        v(r) = v(r) - fac * v(colI)
+        r += 1
+      }
+      colI += 1
+    }
+    val out = new Array[Double](n)
+    var r = n - 1
+    while (r >= 0) {
+      var s = v(r)
+      var k = r + 1
+      while (k < n) { s = s - m(r)(k) * out(k); k += 1 }
+      out(r) = s / m(r)(r)
+      r -= 1
+    }
+    out
+  }
+
+  /** Driver-contract face: learned weights as a (feature, w_micro)
+    * relation — exact Longs, oracle-comparable. */
+  def trainRelation(docs: DataFrame, textCol: String,
+                    dropClassWeight: Long = 5L,
+                    ridge: Double = 1.0): DataFrame = {
+    val w = train(docs, textCol, dropClassWeight, ridge)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    FeatureNames.zip(w.toVector).map { case (name, wj) =>
+      (name, math.floor(wj * 1000000.0).toLong)
+    }.toDF("feature", "w_micro")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.spark
+
+import graft.SparkEntry
+import graft.core.Perplexity
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trained quality classifier: weights must be bit-identical across
+  * partitionings (exact integer sufficient statistics), match the CPython
+  * twin, and actually separate both classes of the imbalanced
+  * distillation target (not collapse to all-keep).
+  */
+class QualityTrainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("weights are bit-identical across partitionings") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w1 = QualityTrain.train(docs.repartition(1), "text")
+    val w7 = QualityTrain.train(docs.repartition(7), "text")
+    assert(java.util.Arrays.equals(w1, w7),
+      s"layout-dependent weights:\n${w1.toSeq}\n${w7.toSeq}")
+  }
+
+  test("q_quality_train matches the CPython twin bit-for-bit") {
+    val got = SparkEntry.queries("q_quality_train")(spark, dir)
+    val want = spark.read.parquet(
+      "src/test/resources/golden/expected_sf0.01/quality_train.parquet")
+    assert(got.count() == QualityTrain.NF)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("learned separator recovers both classes of the heuristic labels") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = QualityTrain.train(docs, "text")
+    val model = Perplexity.default
+    val rows = docs.select("text").collect().map(_.getString(0))
+    var tp = 0; var tn = 0; var fp = 0; var fn = 0
+    rows.foreach { t =>
+      val (f, y) = QualityTrain.featurize(t, model.perplexity(t))
+      val pred = QualityTrain.predictKeep(w, f)
+      if (pred && y == 1) tp += 1
+      else if (!pred && y == 0) tn += 1
+      else if (pred && y == 0) fp += 1
+      else fn += 1
+    }
+    val n = rows.length
+    val acc = (tp + tn).toDouble / n
+    val dropRecall = tn.toDouble / (tn + fp)
+    assert(acc >= 0.90, s"accuracy $acc (tp=$tp tn=$tn fp=$fp fn=$fn)")
+    assert(dropRecall >= 0.80,
+      s"drop class not learned: recall $dropRecall (tn=$tn fp=$fp)")
+    assert(tp > 0 && tn > 0, "classifier collapsed to one class")
+  }
+
+  test("ridge is mandatory — singular normal matrix without it") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      QualityTrain.train(docs, "text", ridge = 0.0)
+    }
+    assert(e.getMessage.contains("ridge"))
+  }
+}

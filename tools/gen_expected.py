@@ -605,6 +605,77 @@ print(f"wrote {OUT}/decontam.parquet "
       f"({sum(1 for r in dc_rows if r[2])} contaminated of {len(dc_rows)})")
 
 # ---------------------------------------------------------------------------
+# q_quality_train expected: closed-form class-weighted ridge least-squares
+# distillation (QualityTrain twin). Exact integer sufficient statistics,
+# then the SAME partial-pivot elimination, op for op — doubles are IEEE-
+# deterministic given identical operation order, so weights match the JVM
+# bit-for-bit.
+from twin_lib import metrics as qt_metrics, decide as qt_decide
+
+QT_NF = 12
+QT_CW0 = 5       # dropClassWeight
+QT_RIDGE = 1.0
+
+def qt_featurize(text, ppl):
+    m = qt_metrics(text)
+    y = 1 if qt_decide(m, ppl)[0] else 0
+    f = [1000,
+         min(m["nChars"], 100000) // 100,
+         min(m["nWords"], 20000) // 20,
+         min(math.floor(m["meanWordLen"] * 50.0), 1000),
+         math.floor(m["stopwordRatio"] * 1000.0),
+         math.floor(m["symbolRatio"] * 1000.0),
+         math.floor(m["dupLineFrac"] * 1000.0),
+         math.floor(m["dupWordFrac"] * 1000.0),
+         math.floor(m["alphaWordRatio"] * 1000.0),
+         min(m["maxWordLen"], 1000),
+         math.floor(m["cjkRatio"] * 1000.0),
+         min(math.floor(ppl), 1000)]
+    return f, y
+
+qt_feats = [qt_featurize(t, perplexity(ppl_en, t)) for _, t in rows]
+qt_A = [[0] * QT_NF for _ in range(QT_NF)]
+qt_b = [0] * QT_NF
+for f, y in qt_feats:
+    ty = 2 * y - 1
+    cw = 1 if y == 1 else QT_CW0
+    for j in range(QT_NF):
+        qt_b[j] += cw * f[j] * ty
+        for k in range(j, QT_NF):
+            qt_A[j][k] += cw * f[j] * f[k]
+M = [[float(qt_A[j][k] if k >= j else qt_A[k][j]) / 1.0e6
+      for k in range(QT_NF)] for j in range(QT_NF)]
+for j in range(QT_NF):
+    M[j][j] = M[j][j] + QT_RIDGE
+v = [float(qt_b[j]) / 1.0e3 for j in range(QT_NF)]
+for col in range(QT_NF):
+    piv = col
+    for r in range(col + 1, QT_NF):
+        if abs(M[r][col]) > abs(M[piv][col]):
+            piv = r
+    M[col], M[piv] = M[piv], M[col]
+    v[col], v[piv] = v[piv], v[col]
+    d = M[col][col]
+    for r in range(col + 1, QT_NF):
+        fac = M[r][col] / d
+        for k in range(col, QT_NF):
+            M[r][k] = M[r][k] - fac * M[col][k]
+        v[r] = v[r] - fac * v[col]
+qt_w = [0.0] * QT_NF
+for r in range(QT_NF - 1, -1, -1):
+    s = v[r]
+    for k in range(r + 1, QT_NF):
+        s = s - M[r][k] * qt_w[k]
+    qt_w[r] = s / M[r][r]
+QT_NAMES = ["bias", "chars", "words", "mean_wlen", "stop", "sym", "dup_line",
+            "dup_word", "alpha", "max_wlen", "cjk", "ppl"]
+pq.write_table(pa.table({
+    "feature": pa.array(QT_NAMES, pa.string()),
+    "w_micro": pa.array([math.floor(w * 1000000.0) for w in qt_w], pa.int64()),
+}), f"{OUT}/quality_train.parquet")
+print(f"wrote {OUT}/quality_train.parquet (w_micro={[math.floor(w*1e6) for w in qt_w]})")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32

@@ -2,7 +2,7 @@
 committed model artifacts' scoring loops, and java.util.Random — used by
 gen_expected_pipeline.py to recompute the flagship pipeline independently.
 """
-import math, struct, unicodedata
+import math, re, struct, unicodedata
 
 # ---- Java char semantics ---------------------------------------------------
 
@@ -165,3 +165,61 @@ def classify(model, text):
     for i in range(nl):
         z += math.exp(scores[i] / n - mx)
     return langs[best], 1.0 / z
+
+# ---- Quality.metrics / Quality.decide twins (shared by both generators) ----
+ASCII_WS = re.compile(r'[ \t\n\x0b\f\r]+')
+
+def q_tokens(text):
+    return [t for t in ASCII_WS.split(text.lower()) if t]
+
+STOPWORDS = set("""the a an and or of to in is it on for with as at by be this
+that from el la los las de que y en un una del se con por su para es al lo
+como der die das und ist von den im mit sich des auf ein eine um am dem zu
+nicht uber le les et dans est pour qui sur pas plus par avec son une ses aux
+ce il du""".split())
+
+def metrics(text):
+    toks = q_tokens(text)
+    n_w = len(toks)
+    n_c = len(text)
+    stop = sum(1 for t in toks if t in STOPWORDS)
+    alpha_words = sum(1 for t in toks if any(is_letter(c) for c in t))
+    sum_len = sum(len(t) for t in toks)
+    max_len = max((len(t) for t in toks), default=0)
+    symbols = letters = cjk = 0
+    for c in text:
+        if is_letter(c):
+            letters += 1
+            if is_cjk_script(c):
+                cjk += 1
+        elif not is_digit(c) and not is_java_ws(c):
+            symbols += 1
+    lines = text.split('\n')
+    dup_lines = 1.0 - len(set(lines)) / len(lines)
+    dup_words = 0.0 if n_w == 0 else 1.0 - len(set(toks)) / n_w
+    return dict(
+        nChars=n_c, nWords=n_w,
+        meanWordLen=0.0 if n_w == 0 else sum_len / n_w,
+        stopwordRatio=0.0 if n_w == 0 else stop / n_w,
+        symbolRatio=0.0 if n_c == 0 else symbols / n_c,
+        dupLineFrac=dup_lines, dupWordFrac=dup_words,
+        alphaWordRatio=0.0 if n_w == 0 else alpha_words / n_w,
+        maxWordLen=max_len, cjkRatio=0.0 if letters == 0 else cjk / letters)
+
+def decide(m, ppl):
+    cjk = m["cjkRatio"] > 0.3
+    if m["nChars"] < 40: return False, "too_short"
+    if m["nChars"] > 1000000: return False, "too_long"
+    if not cjk and m["nWords"] < 5: return False, "too_few_words"
+    if m["nWords"] > 200000: return False, "too_many_words"
+    if not cjk and m["meanWordLen"] < 2.0: return False, "mean_word_len_low"
+    if not cjk and m["meanWordLen"] > 14.0: return False, "mean_word_len_high"
+    if not cjk and m["maxWordLen"] > 60: return False, "max_word_len"
+    if m["symbolRatio"] > 0.10: return False, "symbol_ratio"
+    if not cjk and m["stopwordRatio"] < 0.01: return False, "stopword_ratio"
+    if not cjk and m["alphaWordRatio"] < 0.5: return False, "alpha_word_ratio"
+    if m["dupLineFrac"] > 0.30: return False, "dup_lines"
+    if m["dupWordFrac"] > 0.95: return False, "dup_words"
+    if not cjk and ppl > 80.0: return False, "perplexity"
+    return True, ""
+
