@@ -347,6 +347,15 @@ object SparkEntry {
     "q_quality_train" -> ((s, dir) =>
       graft.spark.QualityTrain.trainRelation(docs(s, dir), "text")),
 
+    // the train→apply loop closed: score every doc with the learned
+    // weights, cross-tab vs the heuristic labels (deterministic because
+    // the weights are)
+    "q_quality_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.spark.QualityTrain.confusion(d, "text",
+        graft.spark.QualityTrain.train(d, "text"))
+    }),
+
     // DECONTAMINATION: mark docs sharing any 13-gram with a benchmark set
     // (here: every 97th doc stands in for the eval set) — broadcast sorted
     // hash array + one narrow corpus scan; CPython twin recomputes hits
@@ -881,6 +890,10 @@ object SparkEntry {
     "q_quality_train" ->
       ("SELECT feature, w_micro FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/quality_train.parquet')"),
+
+    "q_quality_apply" ->
+      ("SELECT pred_keep, heur_keep, n FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/quality_apply.parquet')"),
 
     // ENHANCED merged scrub: CPython recomputes the regex-union spans, the
     // gazetteer automaton hits (same committed artifact, naive all-occurrence

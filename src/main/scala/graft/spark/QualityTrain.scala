@@ -166,6 +166,26 @@ object QualityTrain {
     out
   }
 
+  /** Apply the learned separator corpus-wide and cross-tabulate against
+    * the heuristic labels: (pred_keep, heur_keep, n) — the train→apply
+    * loop closed in one narrow pass + a 4-row aggregate. Deterministic
+    * because the weights are (see [[train]]). */
+  def confusion(docs: DataFrame, textCol: String,
+                w: Array[Double]): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val bModel = sc.broadcast(Perplexity.default)
+    val bw = sc.broadcast(w)
+    val predUdf = udf { t: String =>
+      val text = if (t == null) "" else t
+      val (f, y) = featurize(text, bModel.value.perplexity(text))
+      (predictKeep(bw.value, f), y == 1)
+    }
+    docs.select(predUdf(col(textCol)).as("p"))
+      .select(col("p._1").as("pred_keep"), col("p._2").as("heur_keep"))
+      .groupBy(col("pred_keep"), col("heur_keep"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Driver-contract face: learned weights as a (feature, w_micro)
     * relation — exact Longs, oracle-comparable. */
   def trainRelation(docs: DataFrame, textCol: String,

@@ -53,6 +53,14 @@ class QualityTrainSpec extends AnyFunSuite {
     assert(tp > 0 && tn > 0, "classifier collapsed to one class")
   }
 
+  test("q_quality_apply confusion relation matches the CPython twin") {
+    val got = SparkEntry.queries("q_quality_apply")(spark, dir)
+    val want = spark.read.parquet(
+      "src/test/resources/golden/expected_sf0.01/quality_apply.parquet")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("ridge is mandatory — singular normal matrix without it") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val e = intercept[IllegalArgumentException] {

@@ -675,6 +675,22 @@ pq.write_table(pa.table({
 }), f"{OUT}/quality_train.parquet")
 print(f"wrote {OUT}/quality_train.parquet (w_micro={[math.floor(w*1e6) for w in qt_w]})")
 
+# q_quality_apply expected: learned separator vs heuristic labels
+qt_cm = {}
+for f, y in qt_feats:
+    z = 0.0
+    for j in range(QT_NF):
+        z += qt_w[j] * f[j]
+    key = (z >= 0.0, y == 1)
+    qt_cm[key] = qt_cm.get(key, 0) + 1
+qt_cm_items = sorted(qt_cm.items())
+pq.write_table(pa.table({
+    "pred_keep": pa.array([k[0] for k, _ in qt_cm_items], pa.bool_()),
+    "heur_keep": pa.array([k[1] for k, _ in qt_cm_items], pa.bool_()),
+    "n": pa.array([n for _, n in qt_cm_items], pa.int64()),
+}), f"{OUT}/quality_apply.parquet")
+print(f"wrote {OUT}/quality_apply.parquet ({qt_cm_items})")
+
 # ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
