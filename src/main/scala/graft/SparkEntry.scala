@@ -325,6 +325,17 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       graft.spark.BpeTrain.train(docs(s, dir), "text", numMerges = 50)),
 
+    // tokenizer APPLY: encode the corpus with the learned merge table
+    // (lowest-rank-pair-first, all occurrences) → vocabulary-sized token
+    // frequency relation; per-partition pure-memo word cache
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.spark.BpeTrain.train(d, "text", numMerges = 50)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.spark.BpeTrain.encodeCounts(d, "text", merges)
+    }),
+
     // LM TRAINING: distributed trigram counting (per-doc context reset,
     // 8192-char cap) — the bounded (gram, n) relation is the entire
     // sufficient statistic for the perplexity model; CPython twin
@@ -874,6 +885,10 @@ object SparkEntry {
     "q_bpe_merges" ->
       ("SELECT rank, \"left\", \"right\", freq FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/bpe_merges.parquet')"),
+
+    "q_bpe_encode" ->
+      ("SELECT token, n FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/bpe_encode.parquet')"),
 
     "q_lm_train" ->
       ("SELECT gram, n FROM read_parquet(" +

@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   * learned merge table is byte-reproducible (CPython twin in
   * tools/gen_expected.py).
   */
+/** Per-executor-thread memo for [[BpeTrain.encodeCounts]]: keyed by the
+  * broadcast rank-map identity so a new merge table never reuses stale
+  * encodings; size-capped (clear, not evict — it is a pure-function memo,
+  * so correctness never depends on what is cached). */
+private object BpeEncodeCache {
+  private type Memo = scala.collection.mutable.HashMap[String, Array[String]]
+  private val tl = ThreadLocal.withInitial[(AnyRef, Memo)](() => (null, new Memo))
+  def get(ranks: AnyRef): Memo = {
+    val (key, memo) = tl.get()
+    if (key eq ranks) {
+      if (memo.size > 200000) memo.clear()
+      memo
+    } else {
+      val fresh = new Memo
+      tl.set((ranks, fresh))
+      fresh
+    }
+  }
+}
+
 object BpeTrain {
 
   /** Distributed word-frequency dict: lowercase whitespace tokens
@@ -118,6 +138,64 @@ object BpeTrain {
       rank += 1
     }
     out.result()
+  }
+
+  /** Encode one word with a learned merge table (rank map): repeatedly
+    * merge the LOWEST-rank adjacent pair present, all occurrences left to
+    * right — standard BPE apply (HF tokenizers / Sennrich), deterministic.
+    */
+  def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = symbols(w) :+ "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val l = syms(bi)
+        val r = syms(bi + 1)
+        val merged = l + r
+        val b = Array.newBuilder[String]
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += merged; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+    }
+    syms
+  }
+
+  /** Corpus-wide BPE token frequencies under a learned merge table:
+    * (token, n). The merge table is broadcast; encoding memoizes per
+    * distinct word inside each partition (Zipf repetition makes the cache
+    * hit rate high; the cache is a pure-function memo, so output is
+    * independent of its behavior), and the shuffle is vocabulary-sized. */
+  def encodeCounts(df: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val b = df.sparkSession.sparkContext.broadcast(ranks)
+    val encodeUdf = udf { t: String =>
+      if (t == null) Array.empty[String]
+      else {
+        val memo = BpeEncodeCache.get(b.value)
+        val out = Array.newBuilder[String]
+        t.toLowerCase.split("\\s+").foreach { w =>
+          if (w.nonEmpty) out ++= memo.getOrElseUpdate(w, encodeWord(w, b.value))
+        }
+        out.result()
+      }
+    }
+    df.select(explode(encodeUdf(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
   /** End-to-end: distributed dict → driver merge loop → merges relation. */

@@ -47,6 +47,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges == Seq((0, "x", "</w>", 3L)))
   }
 
+  test("encodeWord applies merges lowest-rank-first, all occurrences") {
+    // Sennrich dict merges: 0:(e,s) 1:(es,t) 2:(est,</w>) 3:(l,o)
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val ranks = BpeTrain.learnMerges(dict, 4)
+      .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+    // unseen word built from seen subwords: "stest" → s t est</w> after
+    // (e,s)+(es,t)+(est,</w>); no (s,t) or (t,es...) merges were learned
+    assert(BpeTrain.encodeWord("lowest", ranks).toSeq ==
+      Seq("lo", "w", "est</w>"))
+    assert(BpeTrain.encodeWord("low", ranks).toSeq == Seq("lo", "w", "</w>"))
+    assert(BpeTrain.encodeWord("eses", ranks).toSeq ==
+      Seq("es", "es", "</w>"))
+  }
+
+  test("q_bpe_encode matches the CPython twin over the sf0.01 corpus") {
+    val got = SparkEntry.queries("q_bpe_encode")(spark, "/root/testdata/sf0.01")
+    val want = spark.read.parquet(
+      "src/test/resources/golden/expected_sf0.01/bpe_encode.parquet")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("q_bpe_merges matches the CPython twin over the sf0.01 corpus") {
     val got = SparkEntry.queries("q_bpe_merges")(spark, "/root/testdata/sf0.01")
     val want = spark.read.parquet(

@@ -521,6 +521,54 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/bpe_merges.parquet ({len(merges)} rows)")
 
 # ---------------------------------------------------------------------------
+# q_bpe_encode expected: corpus token frequencies under the learned merge
+# table (BpeTrain.encodeCounts twin) — per word: repeatedly merge the
+# LOWEST-rank adjacent pair present, all occurrences left to right.
+bpe_ranks = {(l, r): rank for rank, l, r, _ in merges}
+
+def bpe_encode_word(w):
+    syms = list(w) + ["</w>"]
+    while len(syms) > 1:
+        best = None
+        bi = -1
+        for i in range(len(syms) - 1):
+            rk = bpe_ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best = rk
+                bi = i
+        if bi < 0:
+            break
+        l, r = syms[bi], syms[bi + 1]
+        out2 = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out2.append(l + r)
+                i += 2
+            else:
+                out2.append(syms[i])
+                i += 1
+        syms = out2
+    return syms
+
+enc_counts = {}
+enc_memo = {}
+for _, t in rows:
+    for w in tokens(t):
+        toks = enc_memo.get(w)
+        if toks is None:
+            toks = bpe_encode_word(w)
+            enc_memo[w] = toks
+        for tok in toks:
+            enc_counts[tok] = enc_counts.get(tok, 0) + 1
+enc_items = sorted(enc_counts.items())
+pq.write_table(pa.table({
+    "token": pa.array([t for t, _ in enc_items], pa.string()),
+    "n": pa.array([n for _, n in enc_items], pa.int64()),
+}), f"{OUT}/bpe_encode.parquet")
+print(f"wrote {OUT}/bpe_encode.parquet ({len(enc_items)} distinct tokens)")
+
+# ---------------------------------------------------------------------------
 # q_lm_train expected: trigram counts over the corpus (LmTrain.gramCounts
 # twin) — per-document context reset to (space, space), 8192-char cap
 # mirroring the scorer, gram id = (p2*A + p1)*A + c0 with A=38.
