@@ -330,9 +330,8 @@ object SparkEntry {
     // frequency relation; per-partition pure-memo word cache
     "q_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.spark.BpeTrain.train(d, "text", numMerges = 50)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.spark.BpeTrain.trainMerges(d, "text", numMerges = 50)
+        .map { case (_, l, r, _) => (l, r) }
       graft.spark.BpeTrain.encodeCounts(d, "text", merges)
     }),
 

@@ -13,7 +13,9 @@ object Quality {
   /** Tokenize on whitespace runs, dropping empties (matches SQL
     * `string_split_regex(text, '\s+')` + non-empty filter). */
   def tokens(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: SQL lower()/Python str.lower() twins are locale-free;
+    // default-locale toLowerCase diverges on tr-TR hosts (dotless i)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** Compact multilingual (en/es/de/fr) stopword set, shared verbatim with
     * the oracle SQL. CJK text is handled by rule gating instead (see

@@ -37,6 +37,11 @@ private object BpeEncodeCache {
     } else {
       val fresh = new Memo
       tl.set((ranks, fresh))
+      // release the memo (and its strong ref to the broadcast ranks) when
+      // the task ends — otherwise every executor thread that ever ran an
+      // encode keeps up to 200k entries alive for the executor's lifetime
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => tl.remove())
       fresh
     }
   }
@@ -188,7 +193,10 @@ object BpeTrain {
       else {
         val memo = BpeEncodeCache.get(b.value)
         val out = Array.newBuilder[String]
-        t.toLowerCase.split("\\s+").foreach { w =>
+        // Locale.ROOT: the dict side lowercases via Spark SQL lower() and
+        // the twin via Python str.lower() — default-locale toLowerCase
+        // would diverge on tr-TR hosts (dotless i)
+        t.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
           if (w.nonEmpty) out ++= memo.getOrElseUpdate(w, encodeWord(w, b.value))
         }
         out.result()
@@ -198,9 +206,11 @@ object BpeTrain {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
-  /** End-to-end: distributed dict → driver merge loop → merges relation. */
-  def train(df: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L, maxTypes: Int = 1000000): DataFrame = {
+  /** Distributed dict → driver merge loop → merge table as a driver-side
+    * Seq (rank order). */
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  minCount: Long = 2L,
+                  maxTypes: Int = 1000000): Seq[(Int, String, String, Long)] = {
     val wc = wordCounts(df, textCol, minCount)
     // cap the transfer BEFORE collecting: at most maxTypes+1 rows reach
     // the driver, so the bound fires as an exception, not an OOM
@@ -212,8 +222,15 @@ object BpeTrain {
     // collect order is partition-dependent; the loop's tie-break makes the
     // result order-independent, but sort anyway so the input is canonical
     val dict = types.sortBy(t => (t._1, t._2)).toSeq
+    learnMerges(dict, numMerges)
+  }
+
+  /** End-to-end: merge table as a relation (driver-contract face). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L, maxTypes: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    learnMerges(dict, numMerges).toDF("rank", "left", "right", "freq")
+    trainMerges(df, textCol, numMerges, minCount, maxTypes)
+      .toDF("rank", "left", "right", "freq")
   }
 }

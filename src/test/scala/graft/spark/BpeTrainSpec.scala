@@ -52,13 +52,15 @@ class BpeTrainSpec extends AnyFunSuite {
     val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val ranks = BpeTrain.learnMerges(dict, 4)
       .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
-    // unseen word built from seen subwords: "stest" → s t est</w> after
-    // (e,s)+(es,t)+(est,</w>); no (s,t) or (t,es...) merges were learned
     assert(BpeTrain.encodeWord("lowest", ranks).toSeq ==
       Seq("lo", "w", "est</w>"))
     assert(BpeTrain.encodeWord("low", ranks).toSeq == Seq("lo", "w", "</w>"))
     assert(BpeTrain.encodeWord("eses", ranks).toSeq ==
       Seq("es", "es", "</w>"))
+    // unseen word built from seen subwords: (e,s)+(es,t)+(est,</w>) fire,
+    // the unranked (s,t)/(t,est</w>) pairs stay split
+    assert(BpeTrain.encodeWord("stest", ranks).toSeq ==
+      Seq("s", "t", "est</w>"))
   }
 
   test("q_bpe_encode matches the CPython twin over the sf0.01 corpus") {

@@ -156,7 +156,7 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected one bounded shuffle, got $exchanges:\n$plan")
-    assert(plan.contains("partial_sum") || plan.contains("partial"),
+    assert(plan.contains("partial_sum"),
       s"no map-side partial aggregate below the shuffle:\n$plan")
   }
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from twin_lib import (JavaRandom, splitmix64, java_lower, is_java_ws,
                       is_letter, is_digit, is_cjk_script, read_ppl,
                       perplexity, read_langid, classify,
-                      q_tokens, STOPWORDS, metrics, decide)
+                      metrics, decide)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/golden/expected_sf0.01"
 RES = "src/main/resources/graft"
