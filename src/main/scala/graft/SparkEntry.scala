@@ -107,6 +107,21 @@ object SparkEntry {
   private def toksCol: Column =
     graft.spark.PiiFunctions.tokensCol(col("text"))
 
+  /** The SQL-twin keep heuristic shared by q_keep_stats and
+    * q_source_reputation (mirrors the DuckDB oracle expression). */
+  private def withKeepHeur(df: DataFrame): DataFrame =
+    df.withColumn("t", toksCol)
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(col("t"), t => array_contains(typedLit(stopList), t))).cast("long"))
+      .withColumn("sym_cnt",
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("long"))
+      .withColumn("distw_milli", when(col("n_words") === 0, 1000L).otherwise(
+        floor(lit(1000.0) * size(array_distinct(col("t"))) / col("n_words"))))
+      .withColumn("keep_heur",
+        col("n_words") >= 5 && col("stop_cnt") * 100 >= col("n_words") &&
+          col("sym_cnt") * 10 <= length(col("text")) && col("distw_milli") >= 50)
+
   private val stopList: Seq[String] = Quality.Stopwords.toSeq.sorted
   private val stopSqlList: String = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -162,19 +177,32 @@ object SparkEntry {
             .as("distw_milli"))),
 
     "q_keep_stats" -> ((s, dir) =>
-      docs(s, dir).select(col("lang"), col("text"))
-        .withColumn("t", toksCol)
-        .withColumn("n_words", size(col("t")).cast("long"))
-        .withColumn("stop_cnt",
-          size(filter(col("t"), t => array_contains(typedLit(stopList), t))).cast("long"))
-        .withColumn("sym_cnt",
-          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("long"))
-        .withColumn("distw_milli", when(col("n_words") === 0, 1000L).otherwise(
-          floor(lit(1000.0) * size(array_distinct(col("t"))) / col("n_words"))))
-        .withColumn("keep_heur",
-          col("n_words") >= 5 && col("stop_cnt") * 100 >= col("n_words") &&
-            col("sym_cnt") * 10 <= length(col("text")) && col("distw_milli") >= 50)
+      withKeepHeur(docs(s, dir).select(col("lang"), col("text")))
         .groupBy(col("lang"), col("keep_heur")).agg(count(lit(1)).as("n"))),
+
+    // GOPHER REPETITION RULES (§A1.1): top-n-gram + duplicated-n-gram
+    // character fractions per doc — narrow pass, CPython twin
+    "q_gopher_ngrams" -> ((s, dir) => {
+      val g = udf { t: String =>
+        val toks = graft.core.Quality.tokens(if (t == null) "" else t)
+        import graft.core.GopherRepetition._
+        (topNgramCharFracMilli(toks, 2), topNgramCharFracMilli(toks, 3),
+          topNgramCharFracMilli(toks, 4), dupNgramCharFracMilli(toks, 5),
+          dupNgramCharFracMilli(toks, 10))
+      }
+      docs(s, dir).select(col("doc_id"), g(col("text")).as("g"))
+        .select(col("doc_id"), col("g._1").as("top2_milli"),
+          col("g._2").as("top3_milli"), col("g._3").as("top4_milli"),
+          col("g._4").as("dup5_milli"), col("g._5").as("dup10_milli"))
+    }),
+
+    // SOURCE REPUTATION (C4/RefinedWeb host-level stage): aggregate the
+    // per-doc keep signal by source, block low-keep-rate sources — one
+    // skew-safe hash-agg, fully SQL-oracle-able
+    "q_source_reputation" -> ((s, dir) =>
+      graft.spark.WebOps.sourceReputation(
+        withKeepHeur(docs(s, dir).select(col("source"), col("text"))),
+        "source", "keep_heur")),
 
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir).withColumn("t", toksCol)
@@ -674,6 +702,25 @@ object SparkEntry {
       " length(text) AS n_chars FROM t)" +
       " SELECT lang, (n_words >= 5 AND stop_cnt * 100 >= n_words AND sym_cnt * 10 <= n_chars" +
       " AND distw_milli >= 50) AS keep_heur, COUNT(*) AS n FROM m GROUP BY lang, keep_heur"),
+
+    "q_gopher_ngrams" ->
+      ("SELECT doc_id, top2_milli, top3_milli, top4_milli, dup5_milli," +
+        " dup10_milli FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/gopher_ngrams.parquet')"),
+
+    "q_source_reputation" -> ("WITH t AS (SELECT source, text," +
+      " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)," +
+      " m AS (SELECT source, len(toks) AS n_words," +
+      s" len(list_filter(toks, x -> list_contains($stopSqlList, x))) AS stop_cnt," +
+      " length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS sym_cnt," +
+      " CASE WHEN len(toks) = 0 THEN 1000 ELSE floor(1000.0 * len(list_distinct(toks)) / len(toks)) END AS distw_milli," +
+      " length(text) AS n_chars FROM t)," +
+      " k AS (SELECT source, (n_words >= 5 AND stop_cnt * 100 >= n_words" +
+      " AND sym_cnt * 10 <= n_chars AND distw_milli >= 50) AS keep FROM m)" +
+      " SELECT source, COUNT(*) AS n_docs," +
+      " CAST(floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) AS BIGINT) AS keep_rate_milli," +
+      " (floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) < 500) AS blocked" +
+      " FROM k GROUP BY source"),
 
     "q_token_stats" -> ("WITH t AS (SELECT lang, text," +
       " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)" +

@@ -100,6 +100,27 @@ object WebOps {
   }
 
   /** Host of a url (scheme-independent). */
+  /** Source/host-level reputation (C4/RefinedWeb-style group filtering):
+    * aggregate a per-document boolean quality signal to its source and
+    * block sources whose keep rate falls below the threshold. Filtering
+    * at host granularity catches farms whose individual pages pass
+    * per-document rules.
+    *
+    * Scale shape: ONE hash-agg by source with map-side combine (the
+    * shuffle carries one partial row per source per mapper — a
+    * million-page host cannot hot-key a reducer); keep-rate in exact
+    * milli units (floor(1000.0·keeps/n), IEEE-exact, SQL-oracle-able).
+    */
+  def sourceReputation(df: DataFrame, sourceCol: String, keepCol: String,
+                       minKeepRateMilli: Long = 500L): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(keepCol).cast("long")).as("n_keep"))
+      .select(col("source"), col("n_docs"),
+        floor(lit(1000.0) * col("n_keep") / col("n_docs"))
+          .cast("long").as("keep_rate_milli"))
+      .withColumn("blocked", col("keep_rate_milli") < minKeepRateMilli)
+
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
   /** Domain-blocklist predicate: true iff the url's host or ANY parent

@@ -34,6 +34,13 @@ class CorpusParitySpec extends AnyFunSuite {
     }
   }
 
+  test("gopher repetition metrics match the CPython twin over the corpus") {
+    val got = SparkEntry.queries("q_gopher_ngrams")(spark, dir)
+    val want = spark.read.parquet(s"$golden/gopher_ngrams.parquet")
+    assert(got.count() == 500)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("flagship pipeline matches the CPython end-to-end twin per url") {
     for ((q, exp) <- Seq("q_pipeline" -> "pipeline",
       "q_pipeline_dedup" -> "pipeline_dedup")) {

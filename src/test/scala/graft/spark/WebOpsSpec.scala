@@ -99,4 +99,18 @@ class WebOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("source reputation blocks low-keep-rate sources") {
+    import spark.implicits._
+    val docs = Seq(
+      ("good.example", true), ("good.example", true), ("good.example", false),
+      ("farm.example", false), ("farm.example", false), ("farm.example", true),
+      ("empty.example", false))
+      .toDF("source", "keep")
+    val out = WebOps.sourceReputation(docs, "source", "keep")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("good.example") == ((666L, false))) // floor(1000*2/3)
+    assert(out("farm.example") == ((333L, true)))
+    assert(out("empty.example") == ((0L, true)))
+  }
 }

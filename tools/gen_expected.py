@@ -521,6 +521,61 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/bpe_merges.parquet ({len(merges)} rows)")
 
 # ---------------------------------------------------------------------------
+# q_gopher_ngrams expected: Gopher repetition metrics (GopherRepetition
+# twin) — top-n-gram and duplicated-n-gram character fractions in exact
+# milli units over Quality.tokens tokens.
+
+def gr_top_milli(toks, n):
+    total = sum(len(t) for t in toks)
+    if total == 0 or len(toks) < n:
+        return 0
+    counts = {}
+    for i in range(len(toks) - n + 1):
+        k = ' '.join(toks[i:i + n])
+        counts[k] = counts.get(k, 0) + 1
+    best_key = None
+    best_count = 0
+    for k, c in counts.items():
+        if c > best_count or (c == best_count and (best_key is None or k < best_key)):
+            best_key, best_count = k, c
+    if best_count < 2:
+        return 0
+    gram_chars = len(best_key) - (n - 1)
+    return math.floor(1000.0 * (best_count * gram_chars) / total)
+
+def gr_dup_milli(toks, n):
+    total = sum(len(t) for t in toks)
+    if total == 0 or len(toks) < n:
+        return 0
+    counts = {}
+    for i in range(len(toks) - n + 1):
+        k = ' '.join(toks[i:i + n])
+        counts[k] = counts.get(k, 0) + 1
+    covered = [False] * len(toks)
+    for i in range(len(toks) - n + 1):
+        if counts[' '.join(toks[i:i + n])] >= 2:
+            for j in range(i, i + n):
+                covered[j] = True
+    marked = sum(len(toks[i]) for i in range(len(toks)) if covered[i])
+    return math.floor(1000.0 * marked / total)
+
+gn_rows = []
+for d, t in rows:
+    toks = tokens(t)
+    gn_rows.append((d, gr_top_milli(toks, 2), gr_top_milli(toks, 3),
+                    gr_top_milli(toks, 4), gr_dup_milli(toks, 5),
+                    gr_dup_milli(toks, 10)))
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in gn_rows], pa.int64()),
+    "top2_milli": pa.array([r[1] for r in gn_rows], pa.int64()),
+    "top3_milli": pa.array([r[2] for r in gn_rows], pa.int64()),
+    "top4_milli": pa.array([r[3] for r in gn_rows], pa.int64()),
+    "dup5_milli": pa.array([r[4] for r in gn_rows], pa.int64()),
+    "dup10_milli": pa.array([r[5] for r in gn_rows], pa.int64()),
+}), f"{OUT}/gopher_ngrams.parquet")
+print(f"wrote {OUT}/gopher_ngrams.parquet ({len(gn_rows)} rows)")
+
+# ---------------------------------------------------------------------------
 # q_bpe_encode expected: corpus token frequencies under the learned merge
 # table (BpeTrain.encodeCounts twin) — per word: repeatedly merge the
 # LOWEST-rank adjacent pair present, all occurrences left to right.
