@@ -273,6 +273,12 @@ object SparkEntry {
       Dedup.jaccardPairs(docsDedup(s, dir), "doc_id", "text",
         shingleK = 3, minSimMilli = 500)),
 
+    // the CLUSTER-COLLAPSE arc shape curation runs at scale (bucket-star,
+    // no quadratic pairwise verification); CPython twin recomputes buckets
+    "q_dup_minhash_arcs" -> ((s, dir) =>
+      Dedup.minHashBucketArcs(docsDedup(s, dir), "doc_id", "text",
+        shingleK = 3)),
+
     "q_dup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(docsDedup(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5)),
@@ -992,6 +998,9 @@ object SparkEntry {
       " FROM reach GROUP BY src"),
     "q_dup_minhash" ->
       s"SELECT a, b, sim FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash.parquet')",
+
+    "q_dup_minhash_arcs" ->
+      s"SELECT a, b FROM read_parquet('$GoldenDir/expected_sf0.01/dup_minhash_arcs.parquet')",
     "q_embed_neardup_lsh" ->
       s"SELECT a, b, dot_q FROM read_parquet('$GoldenDir/expected_sf0.01/embed_neardup_lsh.parquet')",
     "q_ann_lsh" ->

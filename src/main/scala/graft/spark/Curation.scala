@@ -1,0 +1,79 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed production path a
+  * training-data run actually executes, in the canonical order:
+  *
+  *   quality filter + scrub (per-doc, narrow)
+  *   → near-duplicate collapse (exact + MinHash bucket-star arcs →
+  *     hash-min components → keep the min-url representative per group)
+  *   → optional 13-gram benchmark decontamination
+  *
+  * Each stage is the already-oracle-verified operator; this composes them
+  * and reports per-stage survivor counts. Scale shape is inherited: the
+  * per-doc stage is one narrow pass, dedup shuffles digests/signatures
+  * (never raw text twice — see [[Dedup.minHashLsh]]), components iterates
+  * over the id set only, and decontam is a broadcast scan. Survivor joins
+  * are left-semi on the id.
+  *
+  * Determinism: representatives are min-url per component and every stage
+  * is layout-independent, so the curated id set is identical across
+  * partitionings (pinned by CurationSpec).
+  */
+object Curation {
+
+  final case class Report(input: Long, kept: Long, afterNearDup: Long,
+                          afterDecontam: Long,
+                          stageSec: Map[String, Double] = Map.empty)
+
+  def curate(spark: SparkSession, pages: DataFrame,
+             conf: Pipeline.Conf = Pipeline.Conf(),
+             benchmark: Option[DataFrame] = None,
+             decontamK: Int = 13): (DataFrame, Report) = {
+    val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      secs.update(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val input = timed("input_count")(pages.count())
+    val scored = Pipeline.run(spark, pages, conf)
+    // kept feeds three consumers (dedup signature pass, component seed,
+    // survivor join) — materialize once, lineage-truncated
+    val kept = scored.where(col("keep")).localCheckpoint(false)
+    val keptN = timed("pipeline")(kept.count())
+
+    // bucket-star arcs, not verified pair mining: a curation pass collapses
+    // whole near-dup CLUSTERS, and pairwise verification is quadratic per
+    // clique (see Dedup.minHashBucketArcs — 41.6M candidate pairs on a
+    // dup-heavy 50k-page corpus vs linear bucket arcs)
+    val arcs = Dedup.minHashBucketArcs(kept, "url", "scrubbed_text")
+    val labels = timed("near_dup")(
+      Dedup.components(kept.select(col("url")), arcs, idCol = "url"))
+    // comp is the hash-min label, so the representative is the row whose
+    // id IS its component label
+    val reps = labels.where(col("id") === col("comp"))
+      .select(col("id").as("url"))
+    val deduped = kept.join(reps, Seq("url"), "left_semi")
+      .localCheckpoint(false)
+    val dedupN = timed("survivors")(deduped.count())
+
+    benchmark match {
+      case Some(b) =>
+        val hashes = timed("bench_hashes")(
+          Decontam.benchmarkHashes(b, "text", decontamK))
+        val marked = Decontam.mark(deduped, "url", "scrubbed_text",
+          hashes, decontamK)
+        val clean = deduped.join(
+          marked.where(!col("contaminated")).select("url"),
+          Seq("url"), "left_semi")
+        val n = timed("decontam")(clean.count())
+        (clean, Report(input, keptN, dedupN, n, secs.toMap))
+      case None =>
+        (deduped, Report(input, keptN, dedupN, dedupN, secs.toMap))
+    }
+  }
+}

@@ -117,15 +117,67 @@ object Dedup {
     val okBands = banded.groupBy("band").agg(count(lit(1)).as("bn"))
       .where(col("bn") <= maxBandBucket).select("band")
     val kept = banded.join(okBands, Seq("band"), "left_semi")
-    val l = kept.select(col("band"), col("id").as("a"), col("sig").as("sig_a"))
-    val r = kept.select(col("band"), col("id").as("b"), col("sig").as("sig_b"))
-    val lshPairs = l.join(r, Seq("band"))
+    val l = kept.select(col("band"), col("id").as("a"))
+    val r = kept.select(col("band"), col("id").as("b"))
+    // a pair colliding in many bands is ONE candidate: dedupe bare id
+    // pairs BEFORE scoring, so the band join shuffles no signature arrays
+    // and the 128-element comparison runs once per pair — not once per
+    // shared band, which on near-identical clusters multiplied the UDF
+    // cost by up to `bands` (measured 105 s → 7 s on a dup-heavy 38k-page
+    // curation at local[8])
+    val candidates = l.join(r, Seq("band"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val lshPairs = candidates
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .select(col("a"), col("b"),
         PiiFunctions.sigSimUdf(col("sig_a"), col("sig_b")).as("sim"))
       .where(col("sim") >= threshold)
-      .groupBy(col("a"), col("b")).agg(max("sim").as("sim"))
     lshPairs.unionByName(dupArcs)
+  }
+
+  /** Unverified bucket-star near-dup arcs — the cluster-collapse shape
+    * production LSH dedup actually runs at corpus scale: every
+    * (band, bucket) contributes star arcs from its min-id member, so a
+    * k-member near-dup cluster costs O(k·bands) arcs instead of the
+    * O(k²/2) pairwise verification — which is quadratic per clique no
+    * matter how candidates are mined, and mega-clusters are precisely the
+    * most-duplicated content a dedup pass exists to collapse (measured:
+    * verified pair mining on a dup-heavy 38k-page corpus produced 41.6M
+    * candidate pairs / ~90 s; bucket-star arcs are linear in banded rows).
+    * Precision is tuned by rows-per-band instead of a verification pass:
+    * the 14-rows/9-bands default puts the banding S-curve at ≈90%
+    * collision for Jaccard 0.9 and ≈0.05% at 0.5. Exact copies still
+    * arrive as exact-collapse star arcs. Output: (a, b) arcs for
+    * [[components]] — use [[minHashLsh]] when verified per-pair
+    * similarities are required. */
+  def minHashBucketArcs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, numHashes: Int = 126,
+                        bands: Int = 9,
+                        materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide bands=$bands")
+    val grouped = materialized(
+      df.groupBy(md5(col(textCol)).as("digest"))
+        .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
+          collect_list(col(idCol)).as("ids")),
+      materialize)
+    val dupArcs = grouped
+      .where(size(col("ids")) > 1)
+      .select(col("rep"), explode(col("ids")).as("b"))
+      .where(col("b") =!= col("rep"))
+      .select(col("rep").as("a"), col("b"))
+    val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
+    val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
+    val banded = sigs.select(col("id"),
+      explode(PiiFunctions.bandKeysUdf(col("sig"), lit(bands))).as("band"))
+    // min per bucket via agg + equi-join (map-side combined) — no
+    // collect_list of a mega-bucket's ids into one row
+    val mins = banded.groupBy(col("band")).agg(min(col("id")).as("a"))
+    val bucketArcs = banded.join(mins, Seq("band"))
+      .where(col("id") =!= col("a"))
+      .select(col("a"), col("id").as("b")).distinct()
+    dupArcs.unionByName(bucketArcs)
   }
 
   /** Connected components over a near-dup edge set — the step that turns
@@ -133,15 +185,12 @@ object Dedup {
     * dedup CLUSTER assignment (keep one representative per component).
     *
     * Algorithm: distributed hash-min label propagation — every node starts
-    * labeled with itself; each round, a node's label becomes the min of its
-    * own and its neighbors' labels (one equi-join + one map-side-combining
-    * min-agg per round, both shuffle-friendly); stop when no label changed.
-    * Rounds = graph diameter, and near-dup components are SHALLOW by
-    * construction (exact copies arrive as star arcs around a min-id rep;
-    * LSH pairs connect near-identical texts), so convergence is a handful
-    * of rounds — the large-star/small-star variant only pays off on long
-    * chains that dedup graphs do not produce. `maxIters` is a backstop,
-    * not a tuning knob.
+    * labeled with itself; each round, a node's label becomes the min of
+    * its own, its neighbors', and its LABEL'S label (pointer jumping —
+    * one extra self-join per round), so convergence is O(log diameter):
+    * exact-dedup star graphs converge in 2-3 rounds, and the deep chains
+    * bucket-star arcs can produce (buckets linked through their min
+    * members) still converge well inside `maxIters`.
     *
     * Output: (id, component) for every node appearing in `nodes`, where
     * component = min id reachable — singletons keep themselves. THROWS if
@@ -156,29 +205,65 @@ object Dedup {
     * set, which is checkpointed once and reused every round. */
   def components(nodes: DataFrame, edges: DataFrame,
                  idCol: String = "id", aCol: String = "a", bCol: String = "b",
-                 maxIters: Int = 20): DataFrame = {
-    // symmetrize once; labels seeded from the node set
+                 maxIters: Int = 50): DataFrame = {
+    // symmetrize once; labels seeded from the node set.
+    // EAGER checkpoint: sym is only ever computed inside derived per-round
+    // jobs, and a lazy localCheckpoint does not materialize there — every
+    // round would re-run the full upstream edge-mining chain (measured
+    // 107 s vs 10 s on a 50k-page curation when edges carry the MinHash
+    // pair miner). The per-round labels stay lazy because their count()
+    // IS a direct action on the checkpointed dataset.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(false) // reused every round; tiny vs the corpus
+      .localCheckpoint(true) // reused every round; tiny vs the corpus
+    // Round tables are materialized with an EXPLICIT persist lifecycle
+    // (persist → count → unpersist two rounds later) and lineage is
+    // truncated by rebuilding each round's frame from its materialized
+    // rows: relying on localCheckpoint here lost blocks to the
+    // ContextCleaner once superseded round objects were GC'd mid-loop,
+    // and with three label references per round the recompute cascade
+    // grew ~3^rounds (measured: rounds flat at ~1 s through round 18,
+    // then 5.7 → 13 → 35 → 99 → 248 s).
+    import org.apache.spark.storage.StorageLevel
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      val dbgT0 = System.nanoTime()
       // neighbor labels: join edge dst→its label, propose to src
       val proposals = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val next = labels.join(proposals, Seq("id"), "left")
+      val stepped = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
+      // pointer jump: follow the label's OWN label (c2 = comp of node c1,
+      // ≤ c1 by min-monotonicity) — halves chain depth per round, so
+      // convergence is O(log diameter) instead of O(diameter). Star-arc
+      // graphs (exact dedup) were shallow, but bucket-star arcs chain
+      // buckets through their min members and can be deep.
+      val nextPlan = stepped.join(
+          labels.select(col("id").as("c1"), col("comp").as("c2")),
+          Seq("c1"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (col("nbr") < col("comp")).as("chg"))
-        .localCheckpoint(false) // truncate the per-round lineage growth
+          least(col("c1"), coalesce(col("c2"), col("c1"))).as("comp"),
+          (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old")).as("chg"))
+      // truncate lineage: rebuild from the computed rows so round k's plan
+      // never references round k-1's join tree
+      val next = nodes.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.where(col("chg")).count()
+      if (prev != null) prev.unpersist(false)
+      prev = labels
       labels = next.drop("chg")
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"CCROUND $it changed=$changed ${(System.nanoTime() - dbgT0) / 1e9}%.1f s")
       it += 1
     }
+    if (prev != null) prev.unpersist(false)
     if (changed > 0)
       throw new IllegalStateException(
         s"components did not converge in $maxIters rounds " +
@@ -303,13 +388,19 @@ object Dedup {
     val okBuckets = bucketed.groupBy("t", "sig").agg(count(lit(1)).as("bn"))
       .where(col("bn") <= maxBucket).select("t", "sig")
     val kept = bucketed.join(okBuckets, Seq("t", "sig"), "left_semi")
-    val l = kept.select(col("t"), col("sig"), col("id").as("a"), col("e").as("ea"))
-    val r = kept.select(col("t"), col("sig"), col("id").as("b"), col("e").as("eb"))
-    l.join(r, Seq("t", "sig"))
+    val l = kept.select(col("t"), col("sig"), col("id").as("a"))
+    val r = kept.select(col("t"), col("sig"), col("id").as("b"))
+    // same candidate-dedup-before-scoring shape as [[minHashLsh]]: the
+    // bucket join shuffles bare id pairs (no vectors), and the quantized
+    // dot runs once per distinct pair, not once per shared table
+    val candidates = l.join(r, Seq("t", "sig"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    candidates
+      .join(distinctVecs.select(col("id").as("a"), col("e").as("ea")), Seq("a"))
+      .join(distinctVecs.select(col("id").as("b"), col("e").as("eb")), Seq("b"))
       .select(col("a"), col("b"), Ann.dotQuantized(col("ea"), col("eb")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
-      .groupBy(col("a"), col("b")).agg(max("dot_q").as("dot_q"))
       .unionByName(dupArcs)
   }
 }

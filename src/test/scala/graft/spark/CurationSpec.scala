@@ -1,0 +1,60 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composed curation path: monotone per-stage counts, exact duplicates
+  * collapsed to one representative, planted benchmark leakage removed,
+  * and a layout-independent curated id set. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // DataGen pages + planted exact copies of one clean page under new urls
+  private def corpus = {
+    import spark.implicits._
+    val base = DataGen.pages(spark, 800, partitions = 8).toDF()
+    val clean = base.where(length(col("text")) > 300).limit(1)
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .collect().head
+    val copies = (1 to 5).map(i =>
+      (s"https://copy-$i.example/p/$i", clean.getTimestamp(1),
+        clean.getAs[Array[Byte]](2), clean.getString(3), clean.getString(4)))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    base.unionByName(copies)
+  }
+
+  test("stage counts are monotone and exact duplicates collapse") {
+    val (curated, r) = Curation.curate(spark, corpus)
+    assert(r.input == 805)
+    assert(r.kept <= r.input && r.afterNearDup <= r.kept &&
+      r.afterDecontam == r.afterNearDup)
+    // the 5 planted copies (plus their source if kept) survive as ONE row
+    val byDigest = curated.groupBy(md5(col("scrubbed_text"))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(byDigest == 1L, "an exact-duplicate group survived curation")
+    assert(curated.count() == r.afterNearDup)
+  }
+
+  test("planted benchmark leakage is removed") {
+    import spark.implicits._
+    val (all, _) = Curation.curate(spark, corpus)
+    // benchmark = the text of one curated long doc → that doc must drop
+    val leakedUrl = all.where(length(col("scrubbed_text")) > 300)
+      .select("url").orderBy("url").limit(1).head().getString(0)
+    val leakedText = all.where(col("url") === leakedUrl)
+      .select("scrubbed_text").head().getString(0)
+    val bench = Seq(leakedText).toDF("text")
+    val (curated, r) = Curation.curate(spark, corpus, benchmark = Some(bench))
+    assert(r.afterDecontam < r.afterNearDup)
+    assert(curated.where(col("url") === leakedUrl).isEmpty)
+  }
+
+  test("curated id set is identical across partitionings") {
+    val (c1, _) = Curation.curate(spark, corpus.repartition(2))
+    val (c2, _) = Curation.curate(spark, corpus.repartition(11))
+    val s1 = c1.select("url").collect().map(_.getString(0)).toSet
+    val s2 = c2.select("url").collect().map(_.getString(0)).toSet
+    assert(s1 == s2)
+  }
+}

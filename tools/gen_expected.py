@@ -465,6 +465,28 @@ for bk, ids in buckets.items():
                     mh_pairs[k] = sim
 mh_pairs.update(arcs)
 mh_rows = sorted(mh_pairs.items())
+
+# --- q_dup_minhash_arcs expected: Dedup.minHashBucketArcs(k=3, 126, 9 bands)
+# — unverified bucket-star arcs: per (band, bucket) min-id → member, plus
+# the exact-collapse star arcs; no similarity verification.
+arc_sigs = {r: min_hash(rep_text[r], 3, 126) for r in reps}
+arc_buckets = {}
+for r in reps:
+    for bk in band_keys(arc_sigs[r], 9):
+        arc_buckets.setdefault(bk, []).append(r)
+arc_set = set(arcs.keys())  # exact star arcs (rep, copy)
+for bk, ids in arc_buckets.items():
+    if len(ids) > 1:
+        m = min(ids)
+        for i in ids:
+            if i != m:
+                arc_set.add((m, i))
+arc_rows = sorted(arc_set)
+pq.write_table(pa.table({
+    "a": pa.array([a for a, _ in arc_rows], pa.int64()),
+    "b": pa.array([b for _, b in arc_rows], pa.int64()),
+}), f"{OUT}/dup_minhash_arcs.parquet")
+print(f"wrote {OUT}/dup_minhash_arcs.parquet ({len(arc_rows)} arcs)")
 pq.write_table(pa.table({
     "a": pa.array([k[0] for k, _ in mh_rows], pa.int64()),
     "b": pa.array([k[1] for k, _ in mh_rows], pa.int64()),
