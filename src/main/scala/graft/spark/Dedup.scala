@@ -79,37 +79,47 @@ object Dedup {
     * of near-identical-but-distinct texts, band buckets over
     * `maxBandBucket` members are dropped (logged recall tradeoff — at that
     * population the texts are better served by the exact/simhash tiers). */
-  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.8, maxBandBucket: Int = 4096,
-                 materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
-    // Exact-collapse in ONE aggregation over ONE scan of the input:
-    // groupBy(digest) keeps one text per digest already in the mapper's
-    // partial aggregate (first() is deterministic — identical digest ⇒
-    // identical text), so duplicate text bytes never enter the shuffle,
-    // and collect_list(id) carries the copy ids so the star arcs come from
-    // a narrow explode instead of a second scan + id→rep join (the r2
-    // shape md5-ed every document twice — a full extra corpus pass at
-    // scale). Memory: one agg buffer holds k ids for a k-times-duplicated
-    // page — 8 bytes/copy, fine to ~10^7 copies of a single page; beyond
-    // that the page belongs to an upstream exact-dedup tier anyway.
-    // The collapsed relation feeds three consumers (arcs + both sides of
-    // the band self-join) — see [[Materialize]] for the one-computation
-    // vs recompute-on-failure vs cache-lifetime tradeoffs.
+  /** Exact-collapse in ONE aggregation over ONE scan of the input:
+    * groupBy(digest) keeps one text per digest already in the mapper's
+    * partial aggregate (first() is deterministic — identical digest ⇒
+    * identical text), so duplicate text bytes never enter the shuffle,
+    * and collect_list(id) carries the copy ids so the star arcs come from
+    * a narrow explode instead of a second scan + id→rep join. Memory: one
+    * agg buffer holds k ids for a k-times-duplicated page — 8 bytes/copy,
+    * fine to ~10^7 copies of a single page; beyond that the page belongs
+    * to an upstream exact-dedup tier anyway. Returns
+    * (grouped(digest, rep, t, ids), starArcs(a, b)) — grouped is
+    * materialized per [[Materialize]] because it feeds several consumers.
+    */
+  private def exactCollapse(df: DataFrame, idCol: String, textCol: String,
+                            materialize: Materialize): (DataFrame, DataFrame) = {
     val grouped = materialized(
       df.groupBy(md5(col(textCol)).as("digest"))
         .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
           collect_list(col(idCol)).as("ids")),
       materialize)
     // star arcs for exact copies: rep = min id per digest, so rep < id
-    val dupArcs = grouped
+    val arcs = grouped
       .where(size(col("ids")) > 1)
       .select(col("rep"), explode(col("ids")).as("b"))
       .where(col("b") =!= col("rep"))
-      .select(col("rep").as("a"), col("b"), lit(1.0).as("sim"))
+      .select(col("rep").as("a"), col("b"))
+    (grouped, arcs)
+  }
 
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.8, maxBandBucket: Int = 4096,
+                 materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    val (grouped, exactArcs) = exactCollapse(df, idCol, textCol, materialize)
+    val dupArcs = exactArcs.withColumn("sim", lit(1.0))
     val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
-    val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
+    // sigs feeds three consumers (banding + both sides of the candidate
+    // scoring join) — materialize it too, or the signature UDF re-runs
+    // over every distinct text per consumer
+    val sigs = materialized(
+      minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes),
+      materialize)
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(PiiFunctions.bandKeysUdf(col("sig"), lit(bands))).as("band"))
@@ -156,17 +166,9 @@ object Dedup {
                         shingleK: Int = 5, numHashes: Int = 126,
                         bands: Int = 9,
                         materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes=$numHashes must divide bands=$bands")
-    val grouped = materialized(
-      df.groupBy(md5(col(textCol)).as("digest"))
-        .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
-          collect_list(col(idCol)).as("ids")),
-      materialize)
-    val dupArcs = grouped
-      .where(size(col("ids")) > 1)
-      .select(col("rep"), explode(col("ids")).as("b"))
-      .where(col("b") =!= col("rep"))
-      .select(col("rep").as("a"), col("b"))
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes evenly")
+    val (grouped, dupArcs) = exactCollapse(df, idCol, textCol, materialize)
     val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
     val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
     val banded = sigs.select(col("id"),
@@ -225,7 +227,12 @@ object Dedup {
     // grew ~3^rounds (measured: rounds flat at ~1 s through round 18,
     // then 5.7 → 13 → 35 → 99 → 248 s).
     import org.apache.spark.storage.StorageLevel
+    // distinct: a duplicated node id would seed multiple label rows, and
+    // the pointer-jump self-join (keyed on the label VALUE, which is a
+    // node id) then multiplies matching rows every round — d copies grow
+    // d^round
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     var changed = 1L
@@ -264,12 +271,20 @@ object Dedup {
       it += 1
     }
     if (prev != null) prev.unpersist(false)
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist(false)
       throw new IllegalStateException(
         s"components did not converge in $maxIters rounds " +
           s"($changed labels still changing) — graph diameter exceeds " +
           "maxIters; raise it for deep near-dup chains")
-    labels
+    }
+    // detach the result from the persist chain (a single localCheckpoint
+    // OUTSIDE the loop is safe — the ContextCleaner reclaims it when the
+    // caller drops the frame), then release the loop-persisted table so
+    // repeated invocations cannot accumulate CacheManager entries
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    out
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 guaranteed

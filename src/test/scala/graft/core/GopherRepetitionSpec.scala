@@ -12,8 +12,14 @@ class GopherRepetitionSpec extends AnyFunSuite {
 
   test("top-2-gram fraction: repeated bigram dominates") {
     // "a b a b c": bigrams (a b)x2, (b a)x1, (b c)x1 → best (a b) count 2,
-    // gram chars 2, total chars 5 → floor(1000*4/5) = 800
+    // covering positions 0-3 of 5 chars → floor(1000*4/5) = 800
     assert(topNgramCharFracMilli(toks("a b a b c"), 2) == 800L)
+  }
+
+  test("top-n-gram coverage is bounded: overlaps count chars once") {
+    // "a a a a": (a a) occurs 3 times overlapping, covers all 4 positions
+    // exactly once → 1000, never >1000
+    assert(topNgramCharFracMilli(toks("a a a a"), 2) == 1000L)
   }
 
   test("no repeated n-gram → 0") {

@@ -547,14 +547,26 @@ print(f"wrote {OUT}/bpe_merges.parquet ({len(merges)} rows)")
 # twin) — top-n-gram and duplicated-n-gram character fractions in exact
 # milli units over Quality.tokens tokens.
 
-def gr_top_milli(toks, n):
-    total = sum(len(t) for t in toks)
-    if total == 0 or len(toks) < n:
-        return 0
+def gr_covered(toks, n, pred):
+    covered = [False] * len(toks)
+    for i in range(len(toks) - n + 1):
+        if pred(i):
+            for j in range(i, i + n):
+                covered[j] = True
+    return sum(len(toks[i]) for i in range(len(toks)) if covered[i])
+
+def gr_counts(toks, n):
     counts = {}
     for i in range(len(toks) - n + 1):
         k = ' '.join(toks[i:i + n])
         counts[k] = counts.get(k, 0) + 1
+    return counts
+
+def gr_top_milli(toks, n):
+    total = sum(len(t) for t in toks)
+    if total == 0 or len(toks) < n:
+        return 0
+    counts = gr_counts(toks, n)
     best_key = None
     best_count = 0
     for k, c in counts.items():
@@ -562,23 +574,16 @@ def gr_top_milli(toks, n):
             best_key, best_count = k, c
     if best_count < 2:
         return 0
-    gram_chars = len(best_key) - (n - 1)
-    return math.floor(1000.0 * (best_count * gram_chars) / total)
+    # coverage, chars counted once (overlapping occurrences don't inflate)
+    marked = gr_covered(toks, n, lambda i: ' '.join(toks[i:i + n]) == best_key)
+    return math.floor(1000.0 * marked / total)
 
 def gr_dup_milli(toks, n):
     total = sum(len(t) for t in toks)
     if total == 0 or len(toks) < n:
         return 0
-    counts = {}
-    for i in range(len(toks) - n + 1):
-        k = ' '.join(toks[i:i + n])
-        counts[k] = counts.get(k, 0) + 1
-    covered = [False] * len(toks)
-    for i in range(len(toks) - n + 1):
-        if counts[' '.join(toks[i:i + n])] >= 2:
-            for j in range(i, i + n):
-                covered[j] = True
-    marked = sum(len(toks[i]) for i in range(len(toks)) if covered[i])
+    counts = gr_counts(toks, n)
+    marked = gr_covered(toks, n, lambda i: counts[' '.join(toks[i:i + n])] >= 2)
     return math.floor(1000.0 * marked / total)
 
 gn_rows = []
