@@ -198,6 +198,17 @@ class DedupAnnSpec extends AnyFunSuite {
       s"cos=${byCos.mkString(",")} dot=${byDot.mkString(",")}")
   }
 
+  test("components: a 1000-node path converges via pointer jumping") {
+    import spark.implicits._
+    // diameter 999 — hash-min alone needs ~999 rounds; pointer jumping
+    // must converge inside the default maxIters=50 (O(log diameter))
+    val nodes = (0L until 1000L).toDF("id")
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.components(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 1000 && out.values.forall(_ == 0L))
+  }
+
   test("components: chains need multiple propagation rounds; singletons keep themselves") {
     import spark.implicits._
     // a 6-node chain (diameter 5 — forces >1 hash-min round), a triangle,
