@@ -447,6 +447,27 @@ object SparkEntry {
           max(unix_millis(col("ts").cast("timestamp"))).as("last_ms"),
           count(lit(1)).as("n"))),
 
+    // snowflake rollup (supplier ⇐ nation ⇐ region): both dims broadcast,
+    // supplier rows never shuffle before the final agg; cents quantized
+    // per row so the sum is exact/order-independent
+    "q_supplier_region" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = broadcast(s.read.parquet(s"$dir/nation.parquet"))
+      val reg = broadcast(s.read.parquet(s"$dir/region.parquet"))
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(floor(col("s_acctbal") * 100).cast("long")).as("acctbal_cents"))
+    }),
+
+    "q_part_brand_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(col("p_size")).cast("long").as("max_size"),
+          sum(floor(col("p_retailprice") * 100).cast("long")).as("price_cents"))),
+
     "q_top_customers" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
@@ -857,6 +878,18 @@ object SparkEntry {
         " CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms," +
         " CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms," +
         " COUNT(*) AS n FROM events GROUP BY user_id"),
+
+    "q_supplier_region" ->
+      ("SELECT r_name, COUNT(*) AS n_suppliers," +
+        " CAST(SUM(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents" +
+        " FROM supplier JOIN nation ON s_nationkey = n_nationkey" +
+        " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+
+    "q_part_brand_stats" ->
+      ("SELECT p_brand, COUNT(*) AS n_parts," +
+        " CAST(MAX(p_size) AS BIGINT) AS max_size," +
+        " CAST(SUM(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents" +
+        " FROM part GROUP BY p_brand"),
 
     "q_top_customers" ->
       ("WITH rev AS (SELECT c_nationkey AS nation, c_custkey," +
