@@ -25,6 +25,25 @@ object SparkEntry {
 
   // ---- shared input builders (Spark side) --------------------------------
 
+  /** Streaming-fixture input parquet, generated ONCE per JVM: the timed
+    * body of `q_stream_pipeline` previously generated its own 2000-row
+    * fixture inside the measurement, so the bench row measured fixture IO
+    * + checkpoint machinery and whipsawed 5–15 s across invocations.
+    * Benchmarks call [[prewarmStreamFixture]] before timing so the timed
+    * body is the streaming round trip only. */
+  @volatile private var streamFixture: String = _
+  private def streamFixtureDir(s: SparkSession): String = synchronized {
+    if (streamFixture == null) {
+      val in = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+      DataGen.pages(s, 2000).toDF().write.mode("overwrite").parquet(in)
+      streamFixture = in
+    }
+    streamFixture
+  }
+
+  /** Generate the streaming input fixture outside any timed window. */
+  def prewarmStreamFixture(s: SparkSession): Unit = { streamFixtureDir(s); () }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -643,9 +662,8 @@ object SparkEntry {
     // the BATCH pipeline twin row-for-row — the q_pipeline golden parquet
     // is the oracle for both.
     "q_stream_pipeline" -> ((s, _) => {
+      val in = streamFixtureDir(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-      val in = s"$tmp/in"
-      DataGen.pages(s, 2000).toDF().write.mode("overwrite").parquet(in)
       val q = graft.spark.StreamingPipeline
         .fileStream(s, in, s"$tmp/out", s"$tmp/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

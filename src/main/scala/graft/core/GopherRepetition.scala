@@ -9,7 +9,8 @@ package graft.core
   *    occurrences of the single most frequent n-gram (count desc, then
   *    lexicographically smallest joined gram — deterministic ties;
   *    overlapping occurrences count each character once, so the result is
-  *    bounded by 1000); 0 when no n-gram repeats. Gopher: n = 2..4.
+  *    bounded by 1000); measured even when the top n-gram occurs only once
+  *    (Gopher's definition has no repetition floor). Gopher: n = 2..4.
   *  - `dupNgramCharFracMilli(n)`: fraction of token characters covered by
   *    ANY n-gram occurring ≥ 2 times (overlap counted once). Gopher:
   *    n = 5..10.
@@ -87,7 +88,9 @@ object GopherRepetition {
         bestKey = k; bestCount = c
       }
     }
-    if (bestCount < 2L) return 0L
+    // Gopher measures the top n-gram's fraction even when it occurs once
+    // (Rae et al. §A1.1) — no ≥2 floor, or short-document thresholds are
+    // effectively looser than the paper's
     val key = bestKey
     val marked = coveredChars(toks, n, i => gramKey(toks, i, n) == key)
     math.floor(1000.0 * marked / total).toLong

@@ -50,6 +50,12 @@ object Perplexity {
     else OtherSym
   }
 
+  /** Code-point variant (CPython-twin parity: Python iterates code points,
+    * so an astral-plane character is ONE symbol event, not two surrogate
+    * events). Every astral code point classifies as OtherSym — a-z, 0-9 and
+    * all Java whitespace are BMP. */
+  def symCp(cp: Int): Int = if (cp > 0xFFFF) OtherSym else sym(cp.toChar)
+
   /** Train from corpus text with add-k interpolation of orders 3/2/1. */
   def train(corpus: String, k: Double = 0.1): PerplexityModel = {
     val c3 = new Array[Long](A * A * A)

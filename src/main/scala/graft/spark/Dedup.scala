@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.TextDedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed deduplication operators for a training-data pipeline.
@@ -79,24 +79,35 @@ object Dedup {
     * of near-identical-but-distinct texts, band buckets over
     * `maxBandBucket` members are dropped (logged recall tradeoff — at that
     * population the texts are better served by the exact/simhash tiers). */
-  /** Exact-collapse in ONE aggregation over ONE scan of the input:
-    * groupBy(digest) keeps one text per digest already in the mapper's
-    * partial aggregate (first() is deterministic — identical digest ⇒
-    * identical text), so duplicate text bytes never enter the shuffle,
-    * and collect_list(id) carries the copy ids so the star arcs come from
-    * a narrow explode instead of a second scan + id→rep join. Memory: one
-    * agg buffer holds k ids for a k-times-duplicated page — 8 bytes/copy,
-    * fine to ~10^7 copies of a single page; beyond that the page belongs
-    * to an upstream exact-dedup tier anyway. Returns
-    * (grouped(digest, rep, t, ids), starArcs(a, b)) — grouped is
-    * materialized per [[Materialize]] because it feeds several consumers.
+  /** Exact-collapse in ONE aggregation over ONE scan of the input, with
+    * the MinHash signature computed MAP-SIDE per row so the shuffle never
+    * carries document text: the exchange moves (digest, sig, partial ids)
+    * — ~16 B + 8 B·numHashes + 8 B/copy per row, ≈1 KB instead of the full
+    * text bytes of every distinct document (on a mostly-distinct 100-TB
+    * corpus the previous first(text) shape was a full-corpus text shuffle).
+    * The signature UDF runs once per ROW (duplicates included) rather than
+    * once per distinct text — recomputing a duplicate's signature is CPU
+    * the mapper already has; shipping distinct text is shuffle bytes the
+    * cluster doesn't. first(sig) is deterministic: identical digest ⇒
+    * identical text ⇒ identical signature. collect_list(id) carries the
+    * copy ids so the star arcs come from a narrow explode instead of a
+    * second scan + id→rep join. Memory: one agg buffer holds k ids for a
+    * k-times-duplicated page — 8 bytes/copy, fine to ~10^7 copies of a
+    * single page; beyond that the page belongs to an upstream exact-dedup
+    * tier anyway. Returns (grouped(digest, rep, sig, ids),
+    * starArcs(a, b)) — grouped is materialized per [[Materialize]] because
+    * it feeds several consumers (arcs + banding + both sides of the
+    * candidate-scoring join).
     */
   private def exactCollapse(df: DataFrame, idCol: String, textCol: String,
+                            sigExpr: Column,
                             materialize: Materialize): (DataFrame, DataFrame) = {
     val grouped = materialized(
-      df.groupBy(md5(col(textCol)).as("digest"))
-        .agg(min(col(idCol)).as("rep"), first(col(textCol)).as("t"),
-          collect_list(col(idCol)).as("ids")),
+      df.select(md5(col(textCol)).as("digest"), col(idCol).as("__id"),
+          sigExpr.as("sig"))
+        .groupBy(col("digest"))
+        .agg(min(col("__id")).as("rep"), first(col("sig")).as("sig"),
+          collect_list(col("__id")).as("ids")),
       materialize)
     // star arcs for exact copies: rep = min id per digest, so rep < id
     val arcs = grouped
@@ -111,15 +122,14 @@ object Dedup {
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8, maxBandBucket: Int = 4096,
                  materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
-    val (grouped, exactArcs) = exactCollapse(df, idCol, textCol, materialize)
-    val dupArcs = exactArcs.withColumn("sim", lit(1.0))
-    val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
-    // sigs feeds three consumers (banding + both sides of the candidate
-    // scoring join) — materialize it too, or the signature UDF re-runs
-    // over every distinct text per consumer
-    val sigs = materialized(
-      minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes),
+    val (grouped, exactArcs) = exactCollapse(df, idCol, textCol,
+      PiiFunctions.minHashUdf(col(textCol), lit(shingleK), lit(numHashes)),
       materialize)
+    val dupArcs = exactArcs.withColumn("sim", lit(1.0))
+    // signatures were computed map-side inside the collapse — every
+    // consumer (banding + both sides of the candidate scoring join) is a
+    // narrow projection of the one materialized collapsed relation
+    val sigs = grouped.select(col("rep").as("id"), col("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(PiiFunctions.bandKeysUdf(col("sig"), lit(bands))).as("band"))
@@ -168,9 +178,10 @@ object Dedup {
                         materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes evenly")
-    val (grouped, dupArcs) = exactCollapse(df, idCol, textCol, materialize)
-    val distinctTexts = grouped.select(col("rep").as("id"), col("t"))
-    val sigs = minHashSignatures(distinctTexts, "id", "t", shingleK, numHashes)
+    val (grouped, dupArcs) = exactCollapse(df, idCol, textCol,
+      PiiFunctions.minHashUdf(col(textCol), lit(shingleK), lit(numHashes)),
+      materialize)
+    val sigs = grouped.select(col("rep").as("id"), col("sig"))
     val banded = sigs.select(col("id"),
       explode(PiiFunctions.bandKeysUdf(col("sig"), lit(bands))).as("band"))
     // min per bucket via agg + equi-join (map-side combined) — no
@@ -200,90 +211,133 @@ object Dedup {
     * would let split clusters masquerade as distinct documents — no silent
     * caps); raise `maxIters` for genuinely deep graphs.
     *
-    * Caching: each round local-checkpoints its label table to truncate the
-    * iterative-join lineage. Superseded rounds are reclaimed by the
-    * ContextCleaner on GC, and a label row is 16 bytes, so the transient
-    * footprint is ≤ maxIters tiny tables — negligible next to the edge
-    * set, which is checkpointed once and reused every round. */
+    * Execution: the LOOP runs on pair RDDs sharing one HashPartitioner —
+    * the deliberate exception to the DataFrame-first rule, because an
+    * iterative fixpoint is the one shape Catalyst handles badly on BOTH
+    * axes (this is why GraphX is RDD-based):
+    *  - each round references the previous round's table three times
+    *    (proposal join, step join, pointer-jump join); logical-plan
+    *    re-analysis copies shared subtrees per path, so the analyzed tree
+    *    grows ~3^rounds — measured as a driver OOM near round 20 even
+    *    with every round persisted (and every truncation workaround —
+    *    per-round localCheckpoint, createDataFrame(plan.rdd) — costs a
+    *    job or a full row-conversion per round). An RDD DAG keeps shared
+    *    references shared: lineage stays linear, nothing is re-analyzed.
+    *  - with a shared partitioner the edge relation is shuffled ONCE, at
+    *    build time: edges⋈labels and labels⋈proposals are co-partitioned
+    *    (narrow) every round, so a round shuffles only two label-sized
+    *    relations (reduceByKey of proposals, re-key after the jump) — a
+    *    DataFrame loop re-shuffles the edge set every round.
+    * Each round is ONE action: count() materializes the persisted round
+    * table and drives the LongAccumulator that carries the changed-label
+    * count (over-count on task retry is harmless — only zero/non-zero
+    * gates convergence; a successful-task count can never read zero while
+    * labels still change). Superseded rounds unpersist two rounds later.
+    *
+    * Id ordering matches Spark SQL `least`/`min` for long, int and ASCII
+    * string ids (UTF8String binary order diverges from String.compareTo
+    * only above the BMP — see the FIXTURES.md corpus invariant). */
   def components(nodes: DataFrame, edges: DataFrame,
                  idCol: String = "id", aCol: String = "a", bCol: String = "b",
                  maxIters: Int = 50): DataFrame = {
-    // symmetrize once; labels seeded from the node set.
-    // EAGER checkpoint: sym is only ever computed inside derived per-round
-    // jobs, and a lazy localCheckpoint does not materialize there — every
-    // round would re-run the full upstream edge-mining chain (measured
-    // 107 s vs 10 s on a 50k-page curation when edges carry the MinHash
-    // pair miner). The per-round labels stay lazy because their count()
-    // IS a direct action on the checkpointed dataset.
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true) // reused every round; tiny vs the corpus
-    // Round tables are materialized with an EXPLICIT persist lifecycle
-    // (persist → count → unpersist two rounds later) and lineage is
-    // truncated by rebuilding each round's frame from its materialized
-    // rows: relying on localCheckpoint here lost blocks to the
-    // ContextCleaner once superseded round objects were GC'd mid-loop,
-    // and with three label references per round the recompute cascade
-    // grew ~3^rounds (measured: rounds flat at ~1 s through round 18,
-    // then 5.7 → 13 → 35 → 99 → 248 s).
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     import org.apache.spark.storage.StorageLevel
-    // distinct: a duplicated node id would seed multiple label rows, and
-    // the pointer-jump self-join (keyed on the label VALUE, which is a
-    // node id) then multiplies matching rows every round — d copies grow
-    // d^round
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .distinct()
+
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    val dt = nodes.schema(idCol).dataType
+    val ord: Ordering[Any] = dt match {
+      case LongType    => Ordering.by[Any, Long](_.asInstanceOf[Long])
+      case IntegerType => Ordering.by[Any, Int](_.asInstanceOf[Int])
+      case StringType  => Ordering.by[Any, String](_.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"components: unsupported id type $other (long, int or string)")
+    }
+    val p = new HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+    // symmetrized edges keyed by the neighbor whose label is read, valued
+    // by the node it is proposed to — partitioned ONCE, reused narrow in
+    // every round's join. Building .rdd here materializes the upstream
+    // edge-mining plan's AQE stages once (the r3 eager-checkpoint role).
+    val edgesRdd: RDD[(Any, Any)] = edges.select(col(aCol), col(bCol)).rdd
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else Iterator((r.get(0), r.get(1)), (r.get(1), r.get(0)))
+      }
+      .partitionBy(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = null
+
+    // distinct seeds via reduceByKey (a duplicated node id would seed
+    // multiple label rows and the pointer-jump join, keyed on the label
+    // VALUE, would multiply matching rows every round — d copies grow
+    // d^round); same partitioner as the edges
+    var labels: RDD[(Any, Any)] = nodes.select(col(idCol)).rdd
+      .map(r => (r.get(0), r.get(0)))
+      .reduceByKey(p, (x, _) => x)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var prev: RDD[(Any, Any)] = null
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val dbgT0 = System.nanoTime()
-      // neighbor labels: join edge dst→its label, propose to src
-      val proposals = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("nbr"))
-      val stepped = labels.join(proposals, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
+      val acc = sc.longAccumulator(s"cc-changed-$it")
+      // neighbor labels: co-partitioned edge⋈label join (narrow), propose
+      // the neighbor's label to the other endpoint, min per node with
+      // map-side combine
+      val proposals = edgesRdd.join(labels)
+        .map { case (_, (to, comp)) => (to, comp) }
+        .reduceByKey(p, (x, y) => ord.min(x, y))
+      // step: own label vs best neighbor proposal (narrow join — labels
+      // and proposals share p)
+      val stepped = labels.leftOuterJoin(proposals).mapValues {
+        case (old, nbr) => (old, nbr.fold(old)(ord.min(old, _)))
+      }
       // pointer jump: follow the label's OWN label (c2 = comp of node c1,
-      // ≤ c1 by min-monotonicity) — halves chain depth per round, so
+      // <= c1 by min-monotonicity) — halves chain depth per round, so
       // convergence is O(log diameter) instead of O(diameter). Star-arc
       // graphs (exact dedup) were shallow, but bucket-star arcs chain
       // buckets through their min members and can be deep.
-      val nextPlan = stepped.join(
-          labels.select(col("id").as("c1"), col("comp").as("c2")),
-          Seq("c1"), "left")
-        .select(col("id"),
-          least(col("c1"), coalesce(col("c2"), col("c1"))).as("comp"),
-          (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old")).as("chg"))
-      // truncate lineage: rebuild from the computed rows so round k's plan
-      // never references round k-1's join tree
-      val next = nodes.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema)
+      val next = stepped
+        .map { case (id, (old, c1)) => (c1, (id, old)) }
+        .leftOuterJoin(labels) // labels side narrow; jump side shuffles
+        .map { case (c1, ((id, old), c2)) =>
+          val c = c2.fold(c1)(ord.min(c1, _))
+          if (ord.lt(c, old)) acc.add(1L)
+          (id, c)
+        }
+        .partitionBy(p)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.where(col("chg")).count()
+      next.count() // the ONE action: materializes the round + drives acc
+      changed = acc.value
       if (prev != null) prev.unpersist(false)
       prev = labels
-      labels = next.drop("chg")
+      labels = next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"CCROUND $it changed=$changed ${(System.nanoTime() - dbgT0) / 1e9}%.1f s")
       it += 1
     }
-    if (prev != null) prev.unpersist(false)
     if (changed > 0) {
       labels.unpersist(false)
+      if (prev != null) prev.unpersist(false)
+      edgesRdd.unpersist(false)
       throw new IllegalStateException(
         s"components did not converge in $maxIters rounds " +
           s"($changed labels still changing) — graph diameter exceeds " +
           "maxIters; raise it for deep near-dup chains")
     }
-    // detach the result from the persist chain (a single localCheckpoint
-    // OUTSIDE the loop is safe — the ContextCleaner reclaims it when the
-    // caller drops the frame), then release the loop-persisted table so
-    // repeated invocations cannot accumulate CacheManager entries
-    val out = labels.localCheckpoint(true)
+    // one Row conversion at the END (not per round), detached from the
+    // loop's persist chain by an eager localCheckpoint so every loop RDD
+    // can be released before returning
+    val schema = StructType(Seq(StructField("id", dt), StructField("comp", dt)))
+    val rows = labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+    val out = spark.createDataFrame(rows, schema).localCheckpoint(true)
     labels.unpersist(false)
+    if (prev != null) prev.unpersist(false)
+    edgesRdd.unpersist(false)
     out
   }
 

@@ -200,9 +200,18 @@ object IcebergishSink {
       fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(path)) fs.delete(path, false)
-        if (!fs.rename(tmp, path))
+        // no atomic overwrite available: move any existing target ASIDE
+        // (unique name) before renaming the new content in, so a crash
+        // between the two steps leaves either the old or the new file on
+        // disk — never a window with no committed file
+        val aside = new Path(path.getParent,
+          path.getName + ".old." + java.util.UUID.randomUUID())
+        val hadOld = fs.exists(path) && fs.rename(path, aside)
+        if (!fs.rename(tmp, path)) {
+          if (hadOld) fs.rename(aside, path)
           sys.error(s"rename $tmp -> $path failed")
+        }
+        if (hadOld) fs.delete(aside, false)
     }
   }
 

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * Semantics (the CPython twin in tools/gen_expected.py mirrors both):
   * context resets to (space, space) per DOCUMENT (documents are independent
   * samples — a corpus-order carry would make the counts partition-order
-  * dependent), and each document contributes at most its first 8192 chars,
-  * mirroring the scorer's cap so training and scoring see the same
-  * distribution.
+  * dependent), and each document contributes at most its first 8192 CODE
+  * POINTS (Python slice semantics — the twin's `t[:8192]`), mirroring the
+  * scorer's cap so training and scoring see the same distribution. The
+  * scorer hot paths iterate UTF-16 units for speed; the corpus BMP-only
+  * invariant that makes the two equivalent is documented in FIXTURES.md.
   */
 object LmTrain {
   import Perplexity.{A, SpaceSym}
@@ -43,15 +45,26 @@ object LmTrain {
       val counts = new Array[Long](A * A * A)
       it.foreach { t =>
         if (t != null) {
-          val lim = math.min(t.length, MaxChars)
+          // iterate CODE POINTS with the cap in code points — the CPython
+          // twin's `t[:8192]` counts code points, so a surrogate pair must
+          // be ONE symbol event here too, or any astral-plane character
+          // silently breaks golden parity
+          val len = t.length
           var p2 = SpaceSym
           var p1 = SpaceSym
           var i = 0
-          while (i < lim) {
-            val c0 = Perplexity.sym(t.charAt(i))
+          var n = 0
+          while (i < len && n < MaxChars) {
+            val ch = t.charAt(i)
+            val cp =
+              if (Character.isHighSurrogate(ch) && i + 1 < len &&
+                  Character.isLowSurrogate(t.charAt(i + 1))) {
+                i += 1; Character.toCodePoint(ch, t.charAt(i))
+              } else ch.toInt
+            val c0 = Perplexity.symCp(cp)
             counts((p2 * A + p1) * A + c0) += 1L
             p2 = p1; p1 = c0
-            i += 1
+            i += 1; n += 1
           }
         }
       }

@@ -99,7 +99,6 @@ object WebOps {
     df.where(bucket < rate)
   }
 
-  /** Host of a url (scheme-independent). */
   /** Source/host-level reputation (C4/RefinedWeb-style group filtering):
     * aggregate a per-document boolean quality signal to its source and
     * block sources whose keep rate falls below the threshold. Filtering
@@ -121,6 +120,7 @@ object WebOps {
           .cast("long").as("keep_rate_milli"))
       .withColumn("blocked", col("keep_rate_milli") < minKeepRateMilli)
 
+  /** Host of a url (scheme-independent). */
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
   /** Domain-blocklist predicate: true iff the url's host or ANY parent

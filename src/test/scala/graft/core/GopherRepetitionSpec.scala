@@ -22,8 +22,11 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(topNgramCharFracMilli(toks("a a a a"), 2) == 1000L)
   }
 
-  test("no repeated n-gram → 0") {
-    assert(topNgramCharFracMilli(toks("one two three four"), 2) == 0L)
+  test("top n-gram measured even when it occurs once (no ≥2 floor)") {
+    // all bigrams occur once → tie breaks to the lexicographically smallest
+    // ("one two"), covering 6 of 15 token chars → floor(6000/15) = 400.
+    // Gopher §A1.1 has no repetition floor; dup-coverage (below) does.
+    assert(topNgramCharFracMilli(toks("one two three four"), 2) == 400L)
     assert(dupNgramCharFracMilli(toks("one two three four five"), 5) == 0L)
   }
 

@@ -40,6 +40,23 @@ class LmTrainSpec extends AnyFunSuite {
     assert(got == serialCounts(docs))
   }
 
+  test("astral-plane char is ONE symbol event (code-point iteration)") {
+    // "a😀b" in Python is 3 code points → 3 trigram events; a UTF-16 loop
+    // would see 4 chars and emit 4. The surrogate pair must classify as a
+    // single OtherSym.
+    import spark.implicits._
+    val got = LmTrain.gramCounts(Seq("a😀b").toDF("text"), "text")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 3L)
+    import Perplexity.OtherSym
+    val aSym = Perplexity.sym('a')
+    val bSym = Perplexity.sym('b')
+    assert(got == Map(
+      (SpaceSym * A + SpaceSym) * A + aSym -> 1L,
+      (SpaceSym * A + aSym) * A + OtherSym -> 1L,
+      (aSym * A + OtherSym) * A + bSym -> 1L))
+  }
+
   test("q_lm_train matches the CPython twin over the sf0.01 corpus") {
     val got = SparkEntry.queries("q_lm_train")(spark, "/root/testdata/sf0.01")
     val want = spark.read.parquet(

@@ -58,6 +58,44 @@ class PlanSpec extends AnyFunSuite {
     assert(rddScans >= 2, s"expected shared collapsed-relation reads, got $rddScans:\n$logical")
   }
 
+  test("LSH shuffles carry signatures, never document text") {
+    // signatures are computed map-side inside the exact-collapse, so no
+    // exchange in the whole minHashLsh plan may output the text column —
+    // the r3 shape shipped first(text) of every DISTINCT document through
+    // the collapse shuffle (a full-corpus text shuffle on a mostly-distinct
+    // corpus). Recompute mode keeps the collapse subtree visible in the
+    // plan instead of hiding it behind a localCheckpoint LogicalRDD.
+    // AQE off for the assertion: exchanges are only visible as plain
+    // ShuffleExchangeExec nodes in a non-adaptive executedPlan (sparkPlan
+    // predates EnsureRequirements; the AQE root hides its subtree)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      def exchangesOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      val out = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5,
+        materialize = Dedup.Materialize.Recompute)
+      val exchanges = exchangesOf(out)
+      assert(exchanges.nonEmpty, "expected at least one shuffle in the LSH plan")
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.contains("text"),
+          s"text column crosses an exchange: $names")
+      }
+      // same pin for the unverified bucket-star path
+      val arcs = Dedup.minHashBucketArcs(docs, "doc_id", "text",
+        materialize = Dedup.Materialize.Recompute)
+      exchangesOf(arcs).foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.contains("text"),
+          s"text column crosses an exchange (bucket arcs): $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("persisted IVF index prunes cell partitions at planning time") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") === 0).select(col("embedding")).head()

@@ -572,8 +572,8 @@ def gr_top_milli(toks, n):
     for k, c in counts.items():
         if c > best_count or (c == best_count and (best_key is None or k < best_key)):
             best_key, best_count = k, c
-    if best_count < 2:
-        return 0
+    # no >=2 floor: Gopher measures the top n-gram's fraction even when it
+    # occurs once (Rae et al. SSA1.1)
     # coverage, chars counted once (overlapping occurrences don't inflate)
     marked = gr_covered(toks, n, lambda i: ' '.join(toks[i:i + n]) == best_key)
     return math.floor(1000.0 * marked / total)
