@@ -656,6 +656,36 @@ object SparkEntry {
         PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
           .as("scrubbed"))),
 
+    // the COMPOSED curation path through the driver gate: keep filter +
+    // scrub → exact-collapse star arcs + MinHash bucket-star arcs over
+    // scrubbed_text → connected components → min-url representative →
+    // 13-gram benchmark decontamination. Corpus = the flagship pages
+    // fixture + deterministic exact copies (id%100==7) and near copies
+    // (id%100==13, one appended line); benchmark = raw text of ids with
+    // id%250==3. The CPython twin recomputes every stage independently
+    // (tools/gen_expected_pipeline.py) — the survivor URL SET must match
+    // exactly; each stage is additionally oracle-verified on its own row.
+    "q_curation" -> ((s, _) => {
+      import s.implicits._
+      val base = DataGen.pages(s, 2000).toDF()
+      val copies = s.range(0, 2000).filter(col("id") % 100 === 7).as[Long]
+        .map { id =>
+          DataGen.pageFor(id).copy(url = s"https://copy.example/c/$id")
+        }.toDF()
+      val nears = s.range(0, 2000).filter(col("id") % 100 === 13).as[Long]
+        .map { id =>
+          val p = DataGen.pageFor(id)
+          p.copy(url = s"https://near.example/c/$id",
+            text = p.text + "\nextra tail line")
+        }.toDF()
+      val corpus = base.unionByName(copies).unionByName(nears)
+      val bench = s.range(0, 2000).filter(col("id") % 250 === 3).as[Long]
+        .map(id => DataGen.pageFor(id).text).toDF("text")
+      val (curated, _) = graft.spark.Curation.curate(s, corpus,
+        benchmark = Some(bench), inputRows = Some(2040L))
+      curated.select(col("url"))
+    }),
+
     // the STREAMING face through the driver gate: the same pages flow
     // through readStream → Pipeline.run → writeStream (partitioned parquet,
     // checkpointed, AvailableNow) and the materialized output must equal
@@ -1071,6 +1101,12 @@ object SparkEntry {
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
+    // composed curation: the survivor url set, every stage recomputed
+    // independently in CPython (pipeline chain, minhash banding,
+    // union-find components, 13-gram decontam)
+    "q_curation" ->
+      s"SELECT url FROM read_parquet('$GoldenDir/expected_sf0.01/curation.parquet')",
 
     "q_pipeline_enhanced" ->
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +

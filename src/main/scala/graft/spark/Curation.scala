@@ -28,10 +28,19 @@ object Curation {
                           afterDecontam: Long,
                           stageSec: Map[String, Double] = Map.empty)
 
+  /** `inputRows`: the report's input count. When the caller already knows
+    * it (table statistics, a ledger, a fixed fixture) pass it and the
+    * extra `pages.count()` pass is skipped — at 100 TB that count is a
+    * real scan of a derived frame. (An `observe()` on the pipeline stage
+    * cannot carry it for free here: `kept` is localCheckpoint-ed, and a
+    * CollectMetrics node buried under a LogicalRDD/InMemoryRelation leaf
+    * never reaches the acting query's observedMetrics — the Observation
+    * would block forever.) */
   def curate(spark: SparkSession, pages: DataFrame,
              conf: Pipeline.Conf = Pipeline.Conf(),
              benchmark: Option[DataFrame] = None,
-             decontamK: Int = 13): (DataFrame, Report) = {
+             decontamK: Int = 13,
+             inputRows: Option[Long] = None): (DataFrame, Report) = {
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -39,7 +48,7 @@ object Curation {
       secs.update(name, (System.nanoTime() - t0) / 1e9)
       r
     }
-    val input = timed("input_count")(pages.count())
+    val input = inputRows.getOrElse(timed("input_count")(pages.count()))
     val scored = Pipeline.run(spark, pages, conf)
     // kept feeds three consumers (dedup signature pass, component seed,
     // survivor join) — materialize once, lineage-truncated

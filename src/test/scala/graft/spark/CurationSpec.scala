@@ -50,6 +50,19 @@ class CurationSpec extends AnyFunSuite {
     assert(curated.where(col("url") === leakedUrl).isEmpty)
   }
 
+  test("q_curation matches the CPython composed-curation twin") {
+    val got = graft.SparkEntry.queries("q_curation")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getString(0)).toSet
+    val want = spark.read.parquet(
+      "src/test/resources/golden/expected_sf0.01/curation.parquet")
+      .collect().map(_.getString(0)).toSet
+    assert(got == want,
+      s"survivor sets differ: spark-only=${(got -- want).take(5)}, " +
+        s"twin-only=${(want -- got).take(5)}")
+    // non-vacuous: dedup and decontam each removed something
+    assert(want.nonEmpty && want.size < 1564)
+  }
+
   test("curated id set is identical across partitionings") {
     val (c1, _) = Curation.curate(spark, corpus.repartition(2))
     val (c2, _) = Curation.curate(spark, corpus.repartition(11))

@@ -300,95 +300,9 @@ print(f"wrote {OUT}/langid.parquet, ppl.parquet, ppl_lang.parquet")
 # MinHash-LSH and SimHash pipelines (core/TextDedup.scala, spark/Dedup.scala)
 # including scala.util.hashing.MurmurHash3's string/array hashes — all
 # integer math, so CPython reproduces the Scala outputs bit-for-bit.
-M32 = 0xffffffff
-
-def _rotl(x, r):
-    return ((x << r) | (x >> (32 - r))) & M32
-
-def _mix(h, k):
-    k = (k * 0xcc9e2d51) & M32
-    k = _rotl(k, 15)
-    k = (k * 0x1b873593) & M32
-    h ^= k
-    h = _rotl(h, 13)
-    return (h * 5 + 0xe6546b64) & M32
-
-def _mix_last(h, k):
-    k = (k * 0xcc9e2d51) & M32
-    k = _rotl(k, 15)
-    k = (k * 0x1b873593) & M32
-    return h ^ k
-
-def _fmix(h, length):
-    h ^= length
-    h ^= h >> 16
-    h = (h * 0x85ebca6b) & M32
-    h ^= h >> 13
-    h = (h * 0xc2b2ae35) & M32
-    h ^= h >> 16
-    return h
-
-def scala_string_hash(s, seed):
-    h = seed & M32
-    i = 0
-    n = len(s)
-    while i + 1 < n:
-        h = _mix(h, ((ord(s[i]) << 16) + ord(s[i + 1])) & M32)
-        i += 2
-    if i < n:
-        h = _mix_last(h, ord(s[i]))
-    return _fmix(h, n)
-
-def scala_array_hash(a, seed):
-    h = seed & M32
-    for v in a:
-        h = _mix(h, v & M32)
-    return _fmix(h, len(a))
-
-def to_s32(x):
-    x &= M32
-    return x - (1 << 32) if x >= (1 << 31) else x
-
-def to_s64(x):
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-def hash64(s):  # TextDedup.hash64: two seeded murmur32s
-    h1 = to_s32(scala_string_hash(s, 0x9747b28c))
-    h2 = scala_string_hash(s, 0x85ebca6b) & M32
-    return ((h1 << 32) | h2) & ((1 << 64) - 1)
-
-from twin_lib import splitmix64 as splitmix
-
-HASH_A = [splitmix(i * 2 + 1) | 1 for i in range(256)]
-HASH_B = [splitmix(0x5151 + i) for i in range(256)]
-
-WS_RE = re.compile(r'[ \t\n\x0b\f\r]+')  # java regex \s is ASCII-only
-
-def tokens(text):  # Quality.tokens: String.toLowerCase + split("\s+")
-    return [t for t in WS_RE.split(text.lower()) if t]
-
-def shingles(text, k):
-    t = tokens(text)
-    if len(t) < k:
-        return [' '.join(t)] if t else []
-    return [' '.join(t[i:i + k]) for i in range(len(t) - k + 1)]
-
-def min_hash(text, k, num):
-    sig = [0x7fffffff] * num
-    for s in shingles(text, k):
-        h = hash64(s)
-        for i in range(num):
-            v = to_s32(((HASH_A[i] * h + HASH_B[i]) & ((1 << 64) - 1)) >> 32)
-            if v < sig[i]:
-                sig[i] = v
-    return sig
-
-def band_keys(sig, bands):
-    rows = len(sig) // bands
-    return [((b << 32) | (scala_array_hash(sig[b * rows:(b + 1) * rows], b)
-             & M32)) for b in range(bands)]
-
+from twin_lib import (M32, to_s32, to_s64, hash64, scala_string_hash,
+                      scala_array_hash, tokens, shingles, min_hash,
+                      band_keys, HASH_A, HASH_B)
 def sim_hash(text):
     votes = [0] * 64
     for t in tokens(text):

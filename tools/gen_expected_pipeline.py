@@ -290,3 +290,77 @@ rows_d = [score(*p) for p in survivors]
 write(f"{OUT}/pipeline_dedup.parquet", rows_d)
 print(f"wrote {OUT}/pipeline.parquet ({len(rows)}), "
       f"pipeline_dedup.parquet ({len(rows_d)})")
+
+# ---------------------------------------------------------------------------
+# q_curation expected: composed curation survivor set (Curation.curate twin).
+# Corpus = pages(2000) + exact copies (id%100==7 under https://copy.example)
+# + near copies (id%100==13, text + "\nextra tail line"); benchmark = RAW
+# text of ids with id%250==3. Stages mirror Curation.curate exactly:
+# keep filter -> exact-collapse star arcs + MinHash bucket-star arcs
+# (shingleK=5, 126 hashes, 9 bands) over scrubbed_text -> connected
+# components (min-url label) -> min-url representative -> 13-gram
+# decontamination drop. Regenerate after ANY change to the pipeline
+# keep/scrub chain, TextDedup minhash/shingles, banding or decontam.
+from twin_lib import hash64, shingles, min_hash, band_keys
+
+corpus = [(p[0], r["keep"], r["scrubbed_text"]) for p, r in zip(pages, rows)]
+for i in range(2000):
+    if i % 100 == 7:  # exact copy: same text -> same keep/scrub as base row
+        corpus.append((f"https://copy.example/c/{i}", rows[i]["keep"],
+                       rows[i]["scrubbed_text"]))
+    if i % 100 == 13:  # near copy: appended line -> rescore + rescrub
+        t = pages[i][2] + "\nextra tail line"
+        keep, _ = decide(metrics(t), perplexity(PPL, t))
+        corpus.append((f"https://near.example/c/{i}", keep, scrub_dict(t)))
+
+kept = [(u, s) for u, k, s in corpus if k]
+
+groups = {}  # scrubbed text -> urls (exact collapse)
+for u, s in kept:
+    groups.setdefault(s, []).append(u)
+cur_arcs = set()
+for s, us in groups.items():
+    rep = min(us)
+    for u in us:
+        if u != rep:
+            cur_arcs.add((rep, u))
+
+buckets = {}  # (band<<32|hash) -> distinct-text reps
+for s, us in groups.items():
+    rep = min(us)
+    for bk in band_keys(min_hash(s, 5, 126), 9):
+        buckets.setdefault(bk, []).append(rep)
+for members in buckets.values():
+    mn = min(members)
+    for u in members:
+        if u != mn:
+            cur_arcs.add((mn, u))
+
+parent = {u: u for u, _ in kept}
+def uf_find(x):
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+for a, b in cur_arcs:
+    ra, rb = uf_find(a), uf_find(b)
+    if ra != rb:
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # min url stays the root == hash-min component label
+cur_survivors = [u for u, _ in kept if uf_find(u) == u]
+
+bench_hs = set()
+for i in range(2000):
+    if i % 250 == 3:
+        for s in set(shingles(pages[i][2], 13)):
+            bench_hs.add(hash64(s))
+kept_map = dict(kept)
+cur_clean = sorted(
+    u for u in cur_survivors
+    if not any(hash64(s) in bench_hs for s in shingles(kept_map[u], 13)))
+pq.write_table(pa.table({"url": pa.array(cur_clean, pa.string())}),
+               f"{OUT}/curation.parquet")
+print(f"wrote {OUT}/curation.parquet ({len(cur_clean)} survivors of "
+      f"{len(corpus)} corpus rows, {len(kept)} kept, "
+      f"{len(cur_survivors)} post-dedup)")
