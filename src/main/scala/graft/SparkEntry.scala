@@ -656,6 +656,16 @@ object SparkEntry {
         PiiFunctions.scrubRefUdf(Pipeline.Conf().keyB64, Pipeline.Conf().ns)(col("text"))
           .as("scrubbed"))),
 
+    // trained-NER sufficient statistic (op 13's generalization gap): the
+    // span tagger's (label, feat, n) relation under distant supervision —
+    // positives = gazetteer entries, negatives = pages candidate spans
+    // containing no entry. Integer counts, bit-for-bit vs the CPython twin
+    // (tools/gen_expected_pipeline.py); the model assembled from this
+    // relation detects UNSEEN surname-pattern names (NerTagSpec).
+    "q_ner_train" -> ((s, _) =>
+      graft.spark.NerTagTrain.featureCounts(s, DataGen.pages(s, 2000).toDF(),
+        "text", graft.spark.NerSlot.defaultModel)),
+
     // the COMPOSED curation path through the driver gate: keep filter +
     // scrub → exact-collapse star arcs + MinHash bucket-star arcs over
     // scrubbed_text → connected components → min-url representative →
@@ -1107,6 +1117,10 @@ object SparkEntry {
     // union-find components, 13-gram decontam)
     "q_curation" ->
       s"SELECT url FROM read_parquet('$GoldenDir/expected_sf0.01/curation.parquet')",
+
+    // trained-NER sufficient statistic (integer counts, bit-for-bit)
+    "q_ner_train" ->
+      s"SELECT label, feat, n FROM read_parquet('$GoldenDir/expected_sf0.01/ner_train.parquet')",
 
     "q_pipeline_enhanced" ->
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +

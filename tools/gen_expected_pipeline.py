@@ -364,3 +364,102 @@ pq.write_table(pa.table({"url": pa.array(cur_clean, pa.string())}),
 print(f"wrote {OUT}/curation.parquet ({len(cur_clean)} survivors of "
       f"{len(corpus)} corpus rows, {len(kept)} kept, "
       f"{len(cur_survivors)} post-dedup)")
+
+# ---------------------------------------------------------------------------
+# q_ner_train expected: the trained NER tagger's (label, feat, n)
+# sufficient statistic (NerTag/NerTagTrain twin) — positives = gazetteer
+# entries, negatives = pages(2000) candidate spans containing no entry,
+# hapax-pruned (n >= 2). Integer counts, bit-for-bit.
+def ner_is_han(c):
+    return 0x4E00 <= ord(c) <= 0x9FA0
+
+def ner_is_upper(c):
+    return 'A' <= c <= 'Z'
+
+def ner_is_latin(c):
+    return ('A' <= c <= 'Z') or ('a' <= c <= 'z')
+
+def ner_candidates(t):
+    n = len(t)
+    out = []
+    i = 0
+    while i < n:
+        c = t[i]
+        if ner_is_han(c):
+            j = i
+            while j < n and ner_is_han(t[j]):
+                j += 1
+            run_len = j - i
+            if 2 <= run_len <= 12:
+                out.append((i, j))
+            if (run_len <= 6 and j < n and t[j] == ' ' and j + 1 < n
+                    and ner_is_han(t[j + 1])):
+                m = j + 1
+                while m < n and ner_is_han(t[m]):
+                    m += 1
+                if m - (j + 1) <= 6 and run_len + (m - (j + 1)) >= 2:
+                    out.append((i, m))
+            i = j
+        elif ner_is_upper(c):
+            start = i
+            j = i
+            words = 0
+            cont = True
+            while cont and words < 4 and j < n and ner_is_upper(t[j]):
+                w = j + 1
+                while w < n and ner_is_latin(t[w]):
+                    w += 1
+                words += 1
+                j = w
+                if (words < 4 and j < n and t[j] == ' ' and j + 1 < n
+                        and ner_is_upper(t[j + 1])):
+                    j += 1
+                else:
+                    cont = False
+            if j - start >= 2:
+                out.append((start, j))
+            i = j
+        else:
+            i += 1
+    return out
+
+def ner_features(s):
+    out = ["BIAS"]
+    out += ["c:" + ch for ch in s]
+    out += ["b:" + s[i:i + 2] for i in range(len(s) - 1)]
+    out.append("p:" + s[0])
+    out.append("s:" + s[-1])
+    out.append("l:" + str(min(len(s), 7)))
+    if ' ' in s:
+        out.append("sp:1")
+    out.append("scr:han" if ner_is_han(s[0]) else "scr:lat")
+    return out
+
+ENTRY_SET = {e for _, e in ENTRIES}
+
+def ner_contains_entry(s):
+    for ln in range(2, len(s) + 1):
+        for i in range(len(s) - ln + 1):
+            if s[i:i + ln] in ENTRY_SET:
+                return True
+    return False
+
+from collections import Counter
+ner_counts = Counter()
+for label, e in ENTRIES:
+    for f in ner_features(e):
+        ner_counts[(label, f)] += 1
+for p in pages:
+    t = p[2]
+    for a, z in ner_candidates(t):
+        s = t[a:z]
+        if not ner_contains_entry(s):
+            for f in ner_features(s):
+                ner_counts[("NEG", f)] += 1
+ner_rows = sorted((lb, f, n) for (lb, f), n in ner_counts.items() if n >= 2)
+pq.write_table(pa.table({
+    "label": pa.array([r[0] for r in ner_rows], pa.string()),
+    "feat": pa.array([r[1] for r in ner_rows], pa.string()),
+    "n": pa.array([r[2] for r in ner_rows], pa.int64()),
+}), f"{OUT}/ner_train.parquet")
+print(f"wrote {OUT}/ner_train.parquet ({len(ner_rows)} features)")
