@@ -410,6 +410,12 @@ object SparkEntry {
     "q_quality_train" -> ((s, dir) =>
       graft.spark.QualityTrain.trainRelation(docs(s, dir), "text")),
 
+    // hashed bag-of-words variant (CCNet fidelity): 12 aggregate signals
+    // + 16 hashed token-unigram bucket rates, same exact-integer
+    // statistics and twin-mirrored solve at nf = 28
+    "q_quality_train_ng" -> ((s, dir) =>
+      graft.spark.QualityTrain.trainRelationNg(docs(s, dir), "text")),
+
     // the train→apply loop closed: score every doc with the learned
     // weights, cross-tab vs the heuristic labels (deterministic because
     // the weights are)
@@ -1048,6 +1054,10 @@ object SparkEntry {
     "q_quality_train" ->
       ("SELECT feature, w_micro FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/quality_train.parquet')"),
+
+    "q_quality_train_ng" ->
+      ("SELECT feature, w_micro FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/quality_train_ng.parquet')"),
 
     "q_quality_apply" ->
       ("SELECT pred_keep, heur_keep, n FROM read_parquet(" +

@@ -67,62 +67,71 @@ object QualityTrain {
       .select(col("fy._1").as("f"), col("fy._2").as("y"))
   }
 
-  /** Learned decision: keep iff w·f ≥ 0 (raw integer features). */
+  /** Learned decision: keep iff w·f ≥ 0 (raw integer features; length-
+    * generic so the hashed-n-gram weights apply through the same path). */
   def predictKeep(w: Array[Double], f: Array[Long]): Boolean = {
     var z = 0.0
     var j = 0
-    while (j < NF) { z += w(j) * f(j); j += 1 }
+    while (j < w.length) { z += w(j) * f(j); j += 1 }
     z >= 0.0
   }
 
   /** Closed-form training. `ridge` must be > 0 (constant feature columns
     * make the unregularized normal matrix singular). */
   def train(docs: DataFrame, textCol: String, dropClassWeight: Long = 5L,
-            ridge: Double = 1.0): Array[Double] = {
+            ridge: Double = 1.0): Array[Double] =
+    trainGeneric(features(docs, textCol), NF, dropClassWeight, ridge)
+
+  /** Generic closed-form solve over a (f array<long>, y int) relation with
+    * `nf` features — shared by the 12-feature model and the hashed-n-gram
+    * variant; identical op order either way, so both stay twin-exact. */
+  private[spark] def trainGeneric(feats: DataFrame, nf: Int,
+                                  dropClassWeight: Long,
+                                  ridge: Double): Array[Double] = {
     require(ridge > 0.0, "ridge must be > 0 — the normal matrix is " +
       "singular when a feature is constant (e.g. the bias column)")
-    val feats = features(docs, textCol)
+    val ns = nf * (nf + 1) / 2 + nf // packed upper triangle + b
     val statUdf = udf { (f: Seq[Long], y: Int) =>
       val ty = 2L * y - 1L
       val cw = if (y == 1) 1L else dropClassWeight
-      val out = new Array[Long](NS)
+      val out = new Array[Long](ns)
       var idx = 0
       var j = 0
-      while (j < NF) {
+      while (j < nf) {
         var k = j
-        while (k < NF) { out(idx) = cw * f(j) * f(k); idx += 1; k += 1 }
+        while (k < nf) { out(idx) = cw * f(j) * f(k); idx += 1; k += 1 }
         j += 1
       }
       j = 0
-      while (j < NF) { out(idx) = cw * f(j) * ty; idx += 1; j += 1 }
+      while (j < nf) { out(idx) = cw * f(j) * ty; idx += 1; j += 1 }
       out
     }
-    val aggs = (0 until NS).map(i =>
+    val aggs = (0 until ns).map(i =>
       sum(element_at(col("s"), i + 1).cast(DecimalType(38, 0))).as(s"s$i"))
     val row = feats.select(statUdf(col("f"), col("y")).as("s"))
       .agg(aggs.head, aggs.tail: _*).head()
     // unpack to doubles with fixed normalization (features are milli-scale);
     // exact integer -> nearest double, same rounding as CPython float(int)
-    val a = Array.ofDim[Double](NF, NF)
+    val a = Array.ofDim[Double](nf, nf)
     var idx = 0
     var j = 0
-    while (j < NF) {
+    while (j < nf) {
       var k = j
-      while (k < NF) {
+      while (k < nf) {
         val v = row.getDecimal(idx).doubleValue() / 1.0e6
         a(j)(k) = v; a(k)(j) = v
         idx += 1; k += 1
       }
       j += 1
     }
-    val b = new Array[Double](NF)
+    val b = new Array[Double](nf)
     j = 0
-    while (j < NF) {
+    while (j < nf) {
       b(j) = row.getDecimal(idx).doubleValue() / 1.0e3
       idx += 1; j += 1
     }
     j = 0
-    while (j < NF) { a(j)(j) = a(j)(j) + ridge; j += 1 }
+    while (j < nf) { a(j)(j) = a(j)(j) + ridge; j += 1 }
     solveInPlace(a, b)
   }
 
@@ -197,5 +206,85 @@ object QualityTrain {
     FeatureNames.zip(w.toVector).map { case (name, wj) =>
       (name, math.floor(wj * 1000000.0).toLong)
     }.toDF("feature", "w_micro")
+  }
+
+  // ---- hashed token-unigram variant (CCNet fidelity) -----------------------
+  // The real CCNet/fastText quality filters score hashed BAG-OF-WORDS
+  // features, not only aggregate ratios: specific vocabulary (rare-word
+  // salad, symbol soup tokens) separates classes the 12 aggregate signals
+  // blur. Buckets stay exact integers — per-bucket token counts milli-
+  // normalized by integer division — so the sufficient statistics, the
+  // solve and the twin parity story are unchanged.
+
+  final val NgBuckets = 16
+  val FeatureNamesNg: Vector[String] =
+    FeatureNames ++ (0 until NgBuckets).map(h => s"ng$h")
+  val NFNg: Int = FeatureNamesNg.length
+
+  /** [[featurize]] + hashed token-unigram bucket rates: bucket =
+    * unsigned(TextDedup.hash64(token)) mod buckets, value =
+    * (1000·count)/nTokens (integer division — twin-exact). */
+  def featurizeNg(text: String, ppl: Double): (Array[Long], Int) = {
+    val (base, y) = featurize(text, ppl)
+    val f = java.util.Arrays.copyOf(base, NFNg)
+    val toks = Quality.tokens(text)
+    if (toks.nonEmpty) {
+      val cnt = new Array[Long](NgBuckets)
+      toks.foreach { tk =>
+        cnt(java.lang.Long.remainderUnsigned(
+          graft.core.TextDedup.hash64(tk), NgBuckets).toInt) += 1L
+      }
+      var h = 0
+      while (h < NgBuckets) {
+        f(NF + h) = 1000L * cnt(h) / toks.length; h += 1
+      }
+    }
+    (f, y)
+  }
+
+  /** Featurized relation with hashed buckets: (f array<long>, y int). */
+  def featuresNg(docs: DataFrame, textCol: String): DataFrame = {
+    val bModel = docs.sparkSession.sparkContext.broadcast(Perplexity.default)
+    val featUdf = udf { t: String =>
+      val text = if (t == null) "" else t
+      featurizeNg(text, bModel.value.perplexity(text))
+    }
+    docs.select(featUdf(col(textCol)).as("fy"))
+      .select(col("fy._1").as("f"), col("fy._2").as("y"))
+  }
+
+  def trainNg(docs: DataFrame, textCol: String, dropClassWeight: Long = 5L,
+              ridge: Double = 1.0): Array[Double] =
+    trainGeneric(featuresNg(docs, textCol), NFNg, dropClassWeight, ridge)
+
+  def trainRelationNg(docs: DataFrame, textCol: String,
+                      dropClassWeight: Long = 5L,
+                      ridge: Double = 1.0): DataFrame = {
+    val w = trainNg(docs, textCol, dropClassWeight, ridge)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    FeatureNamesNg.zip(w.toVector).map { case (name, wj) =>
+      (name, math.floor(wj * 1000000.0).toLong)
+    }.toDF("feature", "w_micro")
+  }
+
+  /** Held-out agreement rate of a weight vector against the heuristic
+    * labels, with `ngFeatures` selecting the featurizer (comparison
+    * harness for the 12-feature vs hashed-n-gram models). */
+  def accuracy(docs: DataFrame, textCol: String, w: Array[Double],
+               ngFeatures: Boolean): Double = {
+    val sc = docs.sparkSession.sparkContext
+    val bModel = sc.broadcast(Perplexity.default)
+    val bw = sc.broadcast(w)
+    val agreeUdf = udf { t: String =>
+      val text = if (t == null) "" else t
+      val (f, y) =
+        if (ngFeatures) featurizeNg(text, bModel.value.perplexity(text))
+        else featurize(text, bModel.value.perplexity(text))
+      if (predictKeep(bw.value, f) == (y == 1)) 1L else 0L
+    }
+    val r = docs.select(agreeUdf(col(textCol)).as("ok"))
+      .agg(sum(col("ok")).as("ok"), count(lit(1)).as("n")).head()
+    r.getLong(0).toDouble / r.getLong(1)
   }
 }

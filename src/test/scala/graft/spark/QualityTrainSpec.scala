@@ -30,6 +30,30 @@ class QualityTrainSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("q_quality_train_ng matches the CPython twin bit-for-bit") {
+    val got = SparkEntry.queries("q_quality_train_ng")(spark, dir)
+    val want = spark.read.parquet(
+      "src/test/resources/golden/expected_sf0.01/quality_train_ng.parquet")
+    assert(got.count() == QualityTrain.NFNg)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("hashed-n-gram features beat the 12-feature model held-out") {
+    // train on doc_id % 4 != 0, evaluate agreement with the heuristic
+    // labels on the held-out quarter — the hashed bag-of-words buckets
+    // must add real signal, not just fit noise
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.where(col("doc_id") % 4 =!= 0)
+    val heldOut = docs.where(col("doc_id") % 4 === 0)
+    val wBase = QualityTrain.train(train, "text")
+    val wNg = QualityTrain.trainNg(train, "text")
+    val accBase = QualityTrain.accuracy(heldOut, "text", wBase, ngFeatures = false)
+    val accNg = QualityTrain.accuracy(heldOut, "text", wNg, ngFeatures = true)
+    assert(accNg > accBase,
+      f"hashed features did not help held-out: ng=$accNg%.4f base=$accBase%.4f")
+  }
+
   test("learned separator recovers both classes of the heuristic labels") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val w = QualityTrain.train(docs, "text")

@@ -736,6 +736,69 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/quality_apply.parquet ({qt_cm_items})")
 
 # ---------------------------------------------------------------------------
+# q_quality_train_ng expected: the hashed token-unigram variant
+# (QualityTrain.trainRelationNg twin) — 12 aggregate features + 16 hashed
+# bag-of-words bucket rates (1000*count // nTokens, bucket = unsigned
+# hash64(token) mod 16). Same exact-integer statistics and the identical
+# elimination, at nf = 28.
+QT_NG = 16
+QT_NF2 = QT_NF + QT_NG
+
+def qt_featurize_ng(text, ppl):
+    f, y = qt_featurize(text, ppl)
+    toks = tokens(text)
+    cnt = [0] * QT_NG
+    for tk in toks:
+        cnt[hash64(tk) % QT_NG] += 1
+    if toks:
+        f = f + [1000 * c // len(toks) for c in cnt]
+    else:
+        f = f + [0] * QT_NG
+    return f, y
+
+qt2_feats = [qt_featurize_ng(t, perplexity(ppl_en, t)) for _, t in rows]
+qt2_A = [[0] * QT_NF2 for _ in range(QT_NF2)]
+qt2_b = [0] * QT_NF2
+for f, y in qt2_feats:
+    ty = 2 * y - 1
+    cw = 1 if y == 1 else QT_CW0
+    for j in range(QT_NF2):
+        qt2_b[j] += cw * f[j] * ty
+        for k in range(j, QT_NF2):
+            qt2_A[j][k] += cw * f[j] * f[k]
+M2 = [[float(qt2_A[j][k] if k >= j else qt2_A[k][j]) / 1.0e6
+       for k in range(QT_NF2)] for j in range(QT_NF2)]
+for j in range(QT_NF2):
+    M2[j][j] = M2[j][j] + QT_RIDGE
+v2 = [float(qt2_b[j]) / 1.0e3 for j in range(QT_NF2)]
+for col in range(QT_NF2):
+    piv = col
+    for r in range(col + 1, QT_NF2):
+        if abs(M2[r][col]) > abs(M2[piv][col]):
+            piv = r
+    M2[col], M2[piv] = M2[piv], M2[col]
+    v2[col], v2[piv] = v2[piv], v2[col]
+    d = M2[col][col]
+    for r in range(col + 1, QT_NF2):
+        fac = M2[r][col] / d
+        for k in range(col, QT_NF2):
+            M2[r][k] = M2[r][k] - fac * M2[col][k]
+        v2[r] = v2[r] - fac * v2[col]
+qt2_w = [0.0] * QT_NF2
+for r in range(QT_NF2 - 1, -1, -1):
+    sacc = v2[r]
+    for k in range(r + 1, QT_NF2):
+        sacc = sacc - M2[r][k] * qt2_w[k]
+    qt2_w[r] = sacc / M2[r][r]
+QT2_NAMES = QT_NAMES + ["ng%d" % h for h in range(QT_NG)]
+pq.write_table(pa.table({
+    "feature": pa.array(QT2_NAMES, pa.string()),
+    "w_micro": pa.array([math.floor(w * 1000000.0) for w in qt2_w], pa.int64()),
+}), f"{OUT}/quality_train_ng.parquet")
+print(f"wrote {OUT}/quality_train_ng.parquet "
+      f"(w_micro={[math.floor(w*1e6) for w in qt2_w[:6]]}...)")
+
+# ---------------------------------------------------------------------------
 # ANN / embedding-LSH twins: replicate Ann.hyperplanes (splitmix64 → float),
 # the signature dot (float values widened to double), the quantized dot, and
 # cosine (note: Spark's zip_with multiply is a FLOAT product — float32
