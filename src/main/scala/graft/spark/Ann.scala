@@ -249,12 +249,80 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** (indexed table, centroids) back from [[writeIndex]] output. */
+  /** (indexed table, centroids) back from [[writeIndex]] output. When a
+    * tombstone table exists ([[deleteFromIndex]]), deleted ids are removed
+    * by a BROADCAST left-anti join above the scan — the `cell` predicate
+    * of a probe still pushes below it into the partitioned scan, so
+    * planning-time pruning survives maintenance (pinned by
+    * IvfMaintenanceSpec). */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, Array[Array[Float]]) = {
     val cents = spark.read.parquet(s"$path/centroids")
       .head().getSeq[scala.collection.Seq[Float]](0).map(_.toArray).toArray
-    (spark.read.parquet(s"$path/data"), cents)
+    val data = spark.read.parquet(s"$path/data")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val df =
+      if (fs.exists(tombPath)) {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        // join key = the tombstone table's own (single) column name, so no
+        // id-column parameter has to be threaded through
+        data.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      } else data
+    (df, cents)
+  }
+
+  // ---- index maintenance (append + tombstone delete, no rebuild) ----------
+
+  /** Append new vectors WITHOUT a rebuild: assign them to the EXISTING
+    * centroids and append cell-partitioned files — new files land inside
+    * the existing `cell=N/` directories, so probes keep pruning at
+    * planning time. Appends do not move centroids: as appended data
+    * drifts from the trained quantizer, recall decays (see
+    * [[indexStats]] for the rebuild threshold). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    df: DataFrame, embCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .head().getSeq[scala.collection.Seq[Float]](0).map(_.toArray).toArray
+    ivfIndex(df, embCol, cents).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Tombstone deletes: append the ids to `path/tombstones`; readers
+    * anti-join them out. Rows are never rewritten — delete cost is O(ids),
+    * the Iceberg/Delta merge-on-read shape. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstone frame must have exactly the id column, got ${ids.columns.toSeq}")
+    ids.write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  final case class IndexStats(liveRows: Long, tombstones: Long,
+                              cells: Int, needsRebuild: Boolean)
+
+  /** Maintenance stats from parquet FOOTERS only (driver metadata read, no
+    * Spark job). Rebuild threshold: tombstones > `maxTombstoneFrac` of the
+    * data rows — beyond that every probe pays a large anti-join against
+    * rows that should not exist, and (because appends never move the
+    * quantizer) a large rewritten fraction also signals centroid drift.
+    * Rebuild = writeIndex over `readIndex(...)._1` with fresh
+    * [[kmeansCentroids]]. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                 maxTombstoneFrac: Double = 0.2): IndexStats = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val dataPath = new Path(s"$path/data")
+    val fs = dataPath.getFileSystem(conf)
+    val cells = fs.listStatus(dataPath)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    val dataRows = parquetRowCount(spark, s"$path/data")
+    val tombPath = new Path(s"$path/tombstones")
+    val tombs =
+      if (fs.exists(tombPath)) parquetRowCount(spark, s"$path/tombstones")
+      else 0L
+    IndexStats(dataRows - tombs, tombs, cells,
+      needsRebuild = dataRows > 0 && tombs.toDouble / dataRows > maxTombstoneFrac)
   }
 
   /** IVF top-k: scan only the `nprobe` cells nearest the query, exact cosine
