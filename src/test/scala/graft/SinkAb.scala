@@ -52,6 +52,7 @@ object SinkAb {
       df.write.format("noop").mode("overwrite").save()
     val pages = s.read.parquet("/tmp/pages1m")
     val conf = Pipeline.Conf()
+    if (sys.env.get("SINKAB_STAGES").forall(_ != "0")) {
     timeJob("stage_read")(noop(pages))
     timeJob("stage_score")(noop(Pipeline.run(s, pages, conf)))
     timeJob("stage_shuffle_score")(noop(
@@ -78,9 +79,68 @@ object SinkAb {
         .write.mode("overwrite").partitionBy("part_bucket")
         .parquet("/tmp/sinkab_out")
     }
+    }
+
+    // tap + write-task levers (SINKAB_TAP=1): map-summing tap UDF (no
+    // interpreted higher-order aggregate in the write projection),
+    // column-specific dict-off, and 2× write tasks for encode/IO overlap
+    if (sys.env.get("SINKAB_TAP").contains("1")) {
+      def fullTap(label: String, parts: Int, opts: Map[String, String]): Unit =
+        timeJob(label) {
+          val acc = new graft.spark.IcebergishSink.BucketStatsAcc
+          s.sparkContext.register(acc)
+          val tap = udf { (bucket: Int, keep: Boolean, hits: Map[String, Long]) =>
+            acc.add((bucket, keep,
+              if (hits == null) 0L else hits.valuesIterator.sum))
+            bucket
+          }.asNondeterministic()
+          Pipeline.withBucket(
+            Pipeline.run(s, Pipeline.salted(Pipeline.withBucket(pages, conf),
+              conf, numPartitions = parts), conf), conf)
+            .withColumn("part_bucket",
+              tap(col("part_bucket"), col("keep"), col("n_hits")))
+            .write.mode("overwrite").options(opts).partitionBy("part_bucket")
+            .parquet("/tmp/sinkab_out")
+        }
+      val dictOff = Map(
+        "parquet.enable.dictionary#scrubbed_text" -> "false",
+        "parquet.enable.dictionary#url" -> "false")
+      fullTap("tap2_p32", 0, Map.empty)
+      fullTap("tap2_p32_dictoff", 0, dictOff)
+      fullTap("tap2_p64_dictoff", 64, dictOff)
+      fullTap("tap2_p128_dictoff", 128, dictOff)
+      s.stop()
+      return
+    }
+
+    // encode-lever A/B on the identical scored data: column-specific
+    // dictionary control + zstd level sweep (parquet-mr supports
+    // `parquet.enable.dictionary#<column>` since 1.12)
+    def timeOpts(label: String, opts: Map[String, String])(df: DataFrame): Unit =
+      (0 until 3).foreach { i =>
+        val cpu0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").options(opts).partitionBy("part_bucket")
+          .parquet("/tmp/sinkab_out")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+        println(f"SINKAB $label run=$i sec=$sec%.2f cpuSec=$cpuSec%.1f")
+      }
 
     val scored = s.read.parquet(scoredPath)
     time("maps")(scored)
+    timeOpts("text_dict_off", Map(
+      "parquet.enable.dictionary#scrubbed_text" -> "false"))(scored)
+    timeOpts("text_url_dict_off", Map(
+      "parquet.enable.dictionary#scrubbed_text" -> "false",
+      "parquet.enable.dictionary#url" -> "false"))(scored)
+    timeOpts("zstd_l1", Map(
+      "compression" -> "zstd",
+      "parquet.compression.codec.zstd.level" -> "1"))(scored)
+    timeOpts("zstd_l3", Map(
+      "compression" -> "zstd",
+      "parquet.compression.codec.zstd.level" -> "3"))(scored)
+    timeOpts("uncompressed", Map("compression" -> "none"))(scored)
     time("arrays")(scored
       .withColumn("alias_keys", map_keys(col("alias_dict")))
       .withColumn("alias_vals", map_values(col("alias_dict")))
