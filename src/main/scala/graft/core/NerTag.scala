@@ -125,14 +125,17 @@ object NerTag {
   final class NerTagModel private[core] (
       val labels: Vector[String],
       feat: java.util.HashMap[String, Array[Double]],
-      dflt: Array[Double],
-      priors: Array[Double]) extends Serializable {
+      dflt: Array[Double]) extends Serializable {
 
     private val negIdx = labels.indexOf(NegLabel)
 
-    /** argmax label of a span, or None when NEG wins. */
+    /** argmax label of a span, or None when NEG wins. The class prior
+      * enters through the BIAS feature's likelihood (every span emits one
+      * BIAS event, so logP(BIAS|c) is monotone in the class's span count)
+      * — a separate prior term would double-count class frequency and
+      * systematically inflate NEG's margin over rare entity classes. */
     def predict(s: String): Option[String] = {
-      val scores = priors.clone()
+      val scores = new Array[Double](labels.length)
       features(s).foreach { f =>
         val row = feat.get(f)
         var i = 0
@@ -185,11 +188,6 @@ object NerTag {
     val dflt = new Array[Double](labels.length)
     var i = 0
     while (i < labels.length) { dflt(i) = math.log(1.0 / (totals(i) + v)); i += 1 }
-    // class prior from the BIAS counts (= spans per class)
-    val bias = counts.get("BIAS")
-    require(bias != null, "BIAS feature missing from the training relation")
-    val nTotal = bias.sum.toDouble
-    val priors = bias.map(b => math.log((b + 1.0) / (nTotal + labels.length)))
-    new NerTagModel(labels, feat, dflt, priors)
+    new NerTagModel(labels, feat, dflt)
   }
 }

@@ -279,35 +279,65 @@ object Ann {
     * the existing `cell=N/` directories, so probes keep pruning at
     * planning time. Appends do not move centroids: as appended data
     * drifts from the trained quantizer, recall decays (see
-    * [[indexStats]] for the rebuild threshold). */
+    * [[indexStats]] for the rebuild threshold).
+    *
+    * Tombstones are PERMANENT for an id (no sequence numbers): the read
+    * anti-join would silently hide a re-inserted deleted id, so when the
+    * appended frame carries the tombstone id column this THROWS on any
+    * overlap — re-inserting a deleted id requires a rebuild. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     df: DataFrame, embCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
       .head().getSeq[scala.collection.Seq[Float]](0).map(_.toArray).toArray
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tombPath)) {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+      val idCol = tomb.columns(0)
+      if (df.columns.contains(idCol)) {
+        val clash = df.join(broadcast(tomb), Seq(idCol), "left_semi").limit(1)
+        require(clash.isEmpty,
+          s"appendToIndex: frame contains tombstoned $idCol values — a " +
+            "tombstone is permanent for an id; rebuild the index to re-insert")
+      }
+    }
     ivfIndex(df, embCol, cents).write.mode("append")
       .partitionBy("cell").parquet(s"$path/data")
   }
 
   /** Tombstone deletes: append the ids to `path/tombstones`; readers
     * anti-join them out. Rows are never rewritten — delete cost is O(ids),
-    * the Iceberg/Delta merge-on-read shape. */
+    * the Iceberg/Delta merge-on-read shape. The id column name must exist
+    * in the data schema (a typo would otherwise surface only as an
+    * AnalysisException at the next [[readIndex]]); ids are deduplicated
+    * within the call, and [[indexStats]] counts DISTINCT tombstones so
+    * retried delete jobs cannot skew the rebuild threshold. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"tombstone frame must have exactly the id column, got ${ids.columns.toSeq}")
-    ids.write.mode("append").parquet(s"$path/tombstones")
+    val dataCols = spark.read.parquet(s"$path/data").columns
+    require(dataCols.contains(ids.columns(0)),
+      s"tombstone column '${ids.columns(0)}' is not a column of the index " +
+        s"data (${dataCols.toSeq})")
+    ids.distinct().write.mode("append").parquet(s"$path/tombstones")
   }
 
   final case class IndexStats(liveRows: Long, tombstones: Long,
                               cells: Int, needsRebuild: Boolean)
 
-  /** Maintenance stats from parquet FOOTERS only (driver metadata read, no
-    * Spark job). Rebuild threshold: tombstones > `maxTombstoneFrac` of the
-    * data rows — beyond that every probe pays a large anti-join against
-    * rows that should not exist, and (because appends never move the
-    * quantizer) a large rewritten fraction also signals centroid drift.
-    * Rebuild = writeIndex over `readIndex(...)._1` with fresh
-    * [[kmeansCentroids]]. */
+  /** Maintenance stats. Data rows come from parquet FOOTERS only (driver
+    * metadata read, no job over the data); the tombstone count is a
+    * DISTINCT count via one tiny Spark job over the tombstone table alone
+    * (tombstones are delete-request-sized, and retried delete jobs append
+    * duplicate rows a raw footer count would double-count). `liveRows`
+    * assumes a tombstoned id matched exactly one data row — the invariant
+    * [[appendToIndex]]'s overlap check maintains. Rebuild threshold:
+    * tombstones > `maxTombstoneFrac` of the data rows — beyond that every
+    * probe pays a large anti-join against rows that should not exist, and
+    * (because appends never move the quantizer) a large rewritten
+    * fraction also signals centroid drift. Rebuild = writeIndex over
+    * `readIndex(...)._1` with fresh [[kmeansCentroids]]. */
   def indexStats(spark: org.apache.spark.sql.SparkSession, path: String,
                  maxTombstoneFrac: Double = 0.2): IndexStats = {
     import org.apache.hadoop.fs.Path
@@ -319,7 +349,8 @@ object Ann {
     val dataRows = parquetRowCount(spark, s"$path/data")
     val tombPath = new Path(s"$path/tombstones")
     val tombs =
-      if (fs.exists(tombPath)) parquetRowCount(spark, s"$path/tombstones")
+      if (fs.exists(tombPath))
+        spark.read.parquet(s"$path/tombstones").distinct().count()
       else 0L
     IndexStats(dataRows - tombs, tombs, cells,
       needsRebuild = dataRows > 0 && tombs.toDouble / dataRows > maxTombstoneFrac)

@@ -225,9 +225,11 @@ object Dedup {
     *    references shared: lineage stays linear, nothing is re-analyzed.
     *  - with a shared partitioner the edge relation is shuffled ONCE, at
     *    build time: edges⋈labels and labels⋈proposals are co-partitioned
-    *    (narrow) every round, so a round shuffles only two label-sized
-    *    relations (reduceByKey of proposals, re-key after the jump) — a
-    *    DataFrame loop re-shuffles the edge set every round.
+    *    (narrow) every round, so a round shuffles three LABEL-sized
+    *    relations (reduceByKey of proposals, the re-key by c1 feeding the
+    *    pointer jump, and the final partitionBy restoring co-partitioning)
+    *    and never the edge set — a DataFrame loop re-shuffles the edges
+    *    every round, which dominates when edges ≫ nodes.
     * Each round is ONE action: count() materializes the persisted round
     * table and drives the LongAccumulator that carries the changed-label
     * count (over-count on task retry is harmless — only zero/non-zero

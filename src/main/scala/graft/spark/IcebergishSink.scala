@@ -201,9 +201,13 @@ object IcebergishSink {
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         // no atomic overwrite available: move any existing target ASIDE
-        // (unique name) before renaming the new content in, so a crash
-        // between the two steps leaves either the old or the new file on
-        // disk — never a window with no committed file
+        // (unique name) before renaming the new content in. A crash
+        // between the two renames leaves the target ABSENT — readers see
+        // an uncommitted file, which is safe for this sink's commit-once
+        // metadata (absence means retry, never data loss) — with the
+        // previous content parked recoverable under the .old name. A
+        // crash after the swap can leak the .old file; harmless, because
+        // every ledger/lineage reader filters on the .json suffix.
         val aside = new Path(path.getParent,
           path.getName + ".old." + java.util.UUID.randomUUID())
         val hadOld = fs.exists(path) && fs.rename(path, aside)

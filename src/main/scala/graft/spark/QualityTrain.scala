@@ -32,7 +32,6 @@ object QualityTrain {
     "mean_wlen", "stop", "sym", "dup_line", "dup_word", "alpha", "max_wlen",
     "cjk", "ppl")
   val NF: Int = FeatureNames.length
-  private val NS = NF * (NF + 1) / 2 + NF // packed upper triangle + b
 
   /** Integer feature vector (milli-scaled ratios, capped counts) + the
     * heuristic keep/drop label. Quantization uses only floor/min/integer

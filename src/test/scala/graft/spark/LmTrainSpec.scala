@@ -14,16 +14,22 @@ class LmTrainSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import Perplexity.{A, SpaceSym}
 
+  // CODE-POINT iteration with the cap in code points — the trainer's (and
+  // CPython twin's) semantics, so this reference loop pins the right side
+  // even on astral-plane input
   private def serialCounts(docs: Seq[String]): Map[Int, Long] = {
     val c = scala.collection.mutable.Map.empty[Int, Long]
     docs.foreach { t =>
       var p2 = SpaceSym
       var p1 = SpaceSym
-      t.take(LmTrain.MaxChars).foreach { ch =>
-        val c0 = Perplexity.sym(ch)
+      var taken = 0
+      val it = t.codePoints().iterator()
+      while (it.hasNext && taken < LmTrain.MaxChars) {
+        val c0 = Perplexity.symCp(it.nextInt())
         val g = (p2 * A + p1) * A + c0
         c.update(g, c.getOrElse(g, 0L) + 1L)
         p2 = p1; p1 = c0
+        taken += 1
       }
     }
     c.toMap
@@ -32,8 +38,9 @@ class LmTrainSpec extends AnyFunSuite {
   test("gramCounts equals the serial per-doc loop (reset + 8192 cap)") {
     val docs = Seq(
       "the quick brown fox 123",
-      "x" * 10000, // over the cap — only the first 8192 chars count
-      "¥ symbols and spaces\tmix")
+      "x" * 10000, // over the cap — only the first 8192 code points count
+      "¥ symbols and spaces\tmix",
+      "astral 😀 mix") // surrogate pair = ONE symbol event on both sides
     import spark.implicits._
     val got = LmTrain.gramCounts(docs.toDF("text").repartition(3), "text")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
