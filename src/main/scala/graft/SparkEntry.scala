@@ -223,6 +223,34 @@ object SparkEntry {
         withKeepHeur(docs(s, dir).select(col("source"), col("text"))),
         "source", "keep_heur")),
 
+    // token-budget sharding (shard-manifest step before tokenized training
+    // data is written): shard = floor(prefix_tokens_before / budget) in
+    // doc-id order — computed with the two-phase distributed prefix sum
+    // (range partitions + broadcast offsets), NEVER a one-reducer global
+    // window; the oracle IS that naive window, so the scalable shape is
+    // verified against the textbook definition
+    "q_token_shards" -> ((s, dir) =>
+      graft.spark.WebOps.tokenShards(
+        docs(s, dir).select(col("doc_id"),
+          size(toksCol).cast("long").as("n")),
+        "doc_id", "n", budget = 10000L)),
+
+    // CCNet head/middle/tail: per-language perplexity terciles (the bucket
+    // CCNet keeps/samples by). Exact-rank ntile over a per-lang window —
+    // fine to ~100s of languages at moderate skew, and the oracle-able
+    // form; at 100 TB production buckets by SAMPLED per-lang threshold
+    // values broadcast to a narrow comparison (CCNet's own recipe), which
+    // differs from ntile only where a tie straddles a boundary
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val b = s.sparkContext.broadcast(graft.core.Perplexity.bank)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ppl_centi"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          floor(PiiFunctions.perplexityLangUdf(b)(col("lang"), col("text")) * 100)
+            .cast("long").as("ppl_centi"))
+        .withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+    }),
+
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir).withColumn("t", toksCol)
         .groupBy(col("lang")).agg(
@@ -812,6 +840,19 @@ object SparkEntry {
       " CAST(floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) AS BIGINT) AS keep_rate_milli," +
       " (floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) < 500) AS blocked" +
       " FROM k GROUP BY source"),
+
+    "q_token_shards" -> ("WITH t AS (SELECT doc_id," +
+      " CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n" +
+      " FROM documents), c AS (SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id" +
+      " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)" +
+      " SELECT doc_id, CAST(prev // 10000 AS BIGINT) AS shard FROM c"),
+
+    // composes on the already-verified ppl_lang twin artifact: the bucket
+    // assignment is pure SQL over those scores
+    "q_ccnet_buckets" ->
+      ("SELECT doc_id, lang, ppl_centi, CAST(ntile(3) OVER (PARTITION BY lang" +
+        " ORDER BY ppl_centi, doc_id) AS BIGINT) AS ppl_bucket" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/ppl_lang.parquet')"),
 
     "q_token_stats" -> ("WITH t AS (SELECT lang, text," +
       " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)" +

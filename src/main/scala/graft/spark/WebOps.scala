@@ -123,6 +123,63 @@ object WebOps {
   /** Host of a url (scheme-independent). */
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
+  /** Token-budget sharding — assign every document to a training shard so
+    * each shard holds ≈`budget` tokens in id order (the sample-packing /
+    * shard-manifest step before tokenized training data is written):
+    * shard(doc) = floor(prefix_tokens_before(doc) / budget).
+    *
+    * Scale shape: an exact global prefix sum WITHOUT a global sort —
+    * a single `SUM(...) OVER (ORDER BY id)` window funnels the whole
+    * corpus through ONE reducer. Instead: range-repartition by id, sort
+    * within partitions, ONE tiny job collects the per-partition totals
+    * (numPartitions rows), their prefix sums broadcast as offsets, and a
+    * second narrow pass emits each doc's shard from its partition offset +
+    * running sum. Two passes over the (id, n) projection — never the
+    * text — and the only driver state is one Long per partition. Output
+    * is independent of the range boundaries the sampler picks: offsets
+    * are computed in id-range order, so every layout yields the identical
+    * prefix sum.
+    */
+  def tokenShards(df: DataFrame, idCol: String, nTokensCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE RDD object for both passes: Dataset.rdd builds a fresh physical
+    // graph per call, and two graphs mean two RangePartitioners whose
+    // sampled boundaries need not agree — offsets from pass 1 would then
+    // be wrong for pass 2. A single RDD fixes the partitioner (rangeBounds
+    // are computed once per RDD object), so even a recompute after
+    // unpersist reuses the same boundaries (and typically the same
+    // shuffle files).
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("long").as("n"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val out = base
+      .mapPartitionsWithIndex { (pid, it) =>
+        var run = bOff.value(pid)
+        it.map { case (id, n) =>
+          val shard = run / budget
+          run += n
+          (id, shard)
+        }
+      }
+      .toDF(idCol, "shard")
+    base.unpersist(false) // blocks freed; a recompute re-reads shuffle files
+    out
+  }
+
   /** Domain-blocklist predicate: true iff the url's host or ANY parent
     * domain is in the broadcast blocklist (so `ads.example.com` is blocked
     * by an `example.com` entry). A UT1-scale list (millions of domains)

@@ -100,6 +100,24 @@ class WebOpsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("token shards equal the serial prefix-sum definition, any layout") {
+    import spark.implicits._
+    // adversarial sizes: zero-token docs, a doc bigger than the budget
+    val docs = (0L until 500L).map(i =>
+      (i, if (i % 7 == 0) 0L else if (i == 100L) 2500L else (i % 40) + 1L))
+    val budget = 300L
+    var run = 0L
+    val expected = docs.map { case (id, n) =>
+      val sh = run / budget; run += n; id -> sh
+    }.toMap
+    Seq(3, 17).foreach { parts =>
+      val df = docs.toDF("doc_id", "n").repartition(parts)
+      val got = WebOps.tokenShards(df, "doc_id", "n", budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"layout parts=$parts diverged")
+    }
+  }
+
   test("source reputation blocks low-keep-rate sources") {
     import spark.implicits._
     val docs = Seq(
