@@ -77,7 +77,8 @@ object PiiFunctions {
   def pageStagesUdf(lang: Broadcast[LangIdModel], ppl: Broadcast[PerplexityModel],
                     scrubMode: String = "dict", keyB64: String = "",
                     ns: String = "", policiesCsv: String = "",
-                    ner: Option[Broadcast[NerSlot.NerModel]] = None) =
+                    ner: Option[Broadcast[NerSlot.NerModel]] = None,
+                    taggerNer: Option[Broadcast[graft.core.NerTag.NerTagModel]] = None) =
     udf { (text: String) =>
       val t = if (text == null) "" else text
       val (l, c) = lang.value.classify(t)
@@ -85,9 +86,14 @@ object PiiFunctions {
       val m = Quality.metrics(t)
       // ENHANCED level: model hits merged into the scrub span set; MAXIMUM:
       // rule-only. Shared dispatch with the native expression
-      // (Scrub.scrubWithMode/-Ner) — the two paths cannot drift.
-      val modelHits: Seq[Hit] =
-        ner.map(b => NerSlot.inferOne(b, t)).getOrElse(Nil)
+      // (Scrub.scrubWithMode/-Ner) — the two paths cannot drift. With a
+      // trained tagger, gazetteer hits come FIRST (stable span dedup keeps
+      // the dictionary hit on identical spans — NerSlot.inferOneTagged).
+      val modelHits: Seq[Hit] = (ner, taggerNer) match {
+        case (Some(g), Some(tg)) => NerSlot.inferOneTagged(g, tg, t)
+        case (Some(g), None)     => NerSlot.inferOne(g, t)
+        case _                   => Nil
+      }
       val d =
         if (ner.isEmpty) Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
         else Scrub.scrubWithModeNer(scrubMode, t, keyB64, ns, policiesCsv, modelHits)

@@ -69,7 +69,13 @@ object Pipeline {
         * the stage isn't in the plan at all. */
       security: SecurityLevel = SecurityLevel.Maximum,
       numBuckets: Int = 64,
-      saltBuckets: Int = 8) {
+      saltBuckets: Int = 8,
+      /** Optional TRAINED span tagger ([[NerTagTrain.train]]) merged into
+        * the model-NER slot at an effective ENHANCED level — detects
+        * unseen entities the gazetteer cannot. Forces the broadcast-UDF
+        * stage path (the native expression carries only the embedded
+        * gazetteer artifact); ignored at MAXIMUM, like the gazetteer. */
+      trainedNer: Option[graft.core.NerTag.NerTagModel] = None) {
     /** Effective level after the reference's deprecated_map collapse. */
     def effectiveLevel: SecurityLevel = SecurityLevel.collapse(security)
     /** main.py:241-245: model NER runs iff effective level != MAXIMUM. */
@@ -82,8 +88,9 @@ object Pipeline {
     val qc = conf.quality
 
     val policiesCsv = conf.policies.toSeq.sorted.mkString(",")
+    val useTagger = conf.modelNer && conf.trainedNer.nonEmpty
     val stagesCol: Column =
-      if (conf.nativeStages) {
+      if (conf.nativeStages && !useTagger) {
         graft.spark.expressions.GraftExtensions.install(spark)
         call_function("page_stages", col("text"),
           lit(conf.scrubMode), lit(conf.keyB64), lit(conf.ns), lit(policiesCsv),
@@ -94,8 +101,11 @@ object Pipeline {
         val bNer =
           if (conf.modelNer) Some(spark.sparkContext.broadcast(NerSlot.defaultModel))
           else None
+        val bTag =
+          if (useTagger) conf.trainedNer.map(spark.sparkContext.broadcast(_))
+          else None
         PiiFunctions.pageStagesUdf(bLang, bPpl, conf.scrubMode,
-          conf.keyB64, conf.ns, policiesCsv, bNer)(col("text"))
+          conf.keyB64, conf.ns, policiesCsv, bNer, bTag)(col("text"))
       }
 
     val withStages = pages

@@ -38,6 +38,41 @@ class NerTagSpec extends AnyFunSuite {
     assert(r.scrubbed.contains("<PERSON_"), s"no person alias: ${r.scrubbed}")
   }
 
+  test("Pipeline at ENHANCED + trained tagger redacts an unseen LATIN org " +
+      "end-to-end; MAXIMUM ignores the tagger") {
+    // kanji names are already covered by the RULE patterns at every level
+    // (RE_NAME_K), so the case only the TAGGER can catch is a latin org
+    // that is neither a gazetteer entry nor rule-matchable
+    import spark.implicits._
+    val page = ("https://t.example/1",
+      new java.sql.Timestamp(0L), Array.empty[Byte],
+      "Deliveries are handled by Kotobuki Corp every week. The library " +
+        "opens at nine in the morning and closes at eight in the evening. " +
+        "Most readers scan the first page of a report and move on.",
+      "en")
+    val pages = Seq(page).toDF("url", "warc_ts", "html", "text", "lang")
+    val enhanced = Pipeline.run(spark, pages, Pipeline.Conf(
+      security = Pipeline.SecurityLevel.Enhanced, trainedNer = Some(model)))
+    val row = enhanced.select("scrubbed_text", "model_hits").head()
+    assert(!row.getString(0).contains("Kotobuki Corp"),
+      s"unseen org leaked through the full pipeline: ${row.getString(0)}")
+    assert(row.getSeq[org.apache.spark.sql.Row](1)
+      .exists(h => h.getAs[String]("reason").startsWith("tagger:")),
+      "tagger hit missing from model_hits")
+    // MAXIMUM: neither rules nor gazetteer nor tagger touch it — kept.
+    // (trainedNer set but ignored, like the gazetteer, per main.py:241-245)
+    val maximum = Pipeline.run(spark, pages, Pipeline.Conf(
+      security = Pipeline.SecurityLevel.Maximum, trainedNer = Some(model)))
+    assert(maximum.select("scrubbed_text").head().getString(0)
+      .contains("Kotobuki Corp"))
+    // and ENHANCED with only the gazetteer (no tagger) also keeps it —
+    // the tagger is the component that generalizes
+    val gazOnly = Pipeline.run(spark, pages, Pipeline.Conf(
+      security = Pipeline.SecurityLevel.Enhanced))
+    assert(gazOnly.select("scrubbed_text").head().getString(0)
+      .contains("Kotobuki Corp"))
+  }
+
   test("unseen org-pattern span classifies as org") {
     // 宮森 is not an org stem; the 株式会社 suffix shape generalizes
     assert(model.predict("宮森株式会社").contains("ORG"))
