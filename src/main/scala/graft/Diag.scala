@@ -89,6 +89,27 @@ object Diag {
       All.map(l => s"${l.name}->${Pipeline.SecurityLevel.collapse(l).name}").mkString(",")
     }
 
+    // trained-tagger smoke: distant-supervision training converges and the
+    // model generalizes to an entity the gazetteer does not contain
+    check("ner_tagger_train") {
+      val m = graft.spark.NerTagTrain.train(
+        spark, DataGen.pages(spark, 400).toDF(), "text")
+      val pred = m.predict("森本太郎")
+      require(pred.contains("PER"), s"unseen name predicted $pred")
+      require(m.predict("Contact").isEmpty, "common word tagged")
+      s"labels=${m.labels.mkString(",")} unseen_per=ok"
+    }
+
+    // curation smoke: the composed path runs end-to-end and is monotone
+    check("curation_compose") {
+      val (curated, r) = graft.spark.Curation.curate(
+        spark, DataGen.pages(spark, 300).toDF(), inputRows = Some(300L))
+      require(r.kept <= r.input && r.afterNearDup <= r.kept,
+        s"non-monotone stages: $r")
+      require(curated.count() == r.afterNearDup)
+      s"input=${r.input} kept=${r.kept} survivors=${r.afterNearDup}"
+    }
+
     // pipeline + sink smoke: score, write partitioned + ledger, resume is a
     // no-op, snapshot reads back the same rows
     check("pipeline_sink_roundtrip") {
