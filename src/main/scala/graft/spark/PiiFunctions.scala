@@ -92,10 +92,12 @@ object PiiFunctions {
       val modelHits: Seq[Hit] = (ner, taggerNer) match {
         case (Some(g), Some(tg)) => NerSlot.inferOneTagged(g, tg, t)
         case (Some(g), None)     => NerSlot.inferOne(g, t)
-        case _                   => Nil
+        case (None, Some(tg))    => tg.value.hitsOf(t) // tagger-only slot
+        case (None, None)        => Nil
       }
       val d =
-        if (ner.isEmpty) Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
+        if (ner.isEmpty && taggerNer.isEmpty)
+          Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
         else Scrub.scrubWithModeNer(scrubMode, t, keyB64, ns, policiesCsv, modelHits)
       PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts, modelHits)
     }

@@ -149,16 +149,19 @@ object WebOps {
     // graph per call, and two graphs mean two RangePartitioners whose
     // sampled boundaries need not agree — offsets from pass 1 would then
     // be wrong for pass 2. A single RDD fixes the partitioner (rangeBounds
-    // are computed once per RDD object), so even a recompute after
-    // unpersist reuses the same boundaries (and typically the same
-    // shuffle files).
+    // are computed once per RDD object), and pass 2 re-reads pass 1's
+    // shuffle files (stage skipped), paying only the partition-local
+    // re-sort — cheaper than caching the whole (id, n) projection.
+    // Null contract: null ids cannot be assigned a shard and are dropped;
+    // a null token count reads as 0 (a doc with no tokens consumes no
+    // budget) — mirrors the null-safety of the sibling operators.
     val base = df.select(col(idCol).cast("long").as("id"),
-        col(nTokensCol).cast("long").as("n"))
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n"))
+      .where(col("id").isNotNull)
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
       .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = base
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
@@ -176,7 +179,6 @@ object WebOps {
         }
       }
       .toDF(idCol, "shard")
-    base.unpersist(false) // blocks freed; a recompute re-reads shuffle files
     out
   }
 

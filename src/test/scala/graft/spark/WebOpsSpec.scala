@@ -110,11 +110,18 @@ class WebOpsSpec extends AnyFunSuite {
     val expected = docs.map { case (id, n) =>
       val sh = run / budget; run += n; id -> sh
     }.toMap
+    // null contract: null id dropped, null count reads as 0 tokens
+    val total = docs.map(_._2).sum
+    val expectedAll = expected + (600L -> total / budget)
     Seq(3, 17).foreach { parts =>
       val df = docs.toDF("doc_id", "n").repartition(parts)
+        .unionByName(spark.sql(
+          "SELECT CAST(600 AS BIGINT) doc_id, CAST(NULL AS BIGINT) n"))
+        .unionByName(spark.sql(
+          "SELECT CAST(NULL AS BIGINT) doc_id, CAST(5 AS BIGINT) n"))
       val got = WebOps.tokenShards(df, "doc_id", "n", budget)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"layout parts=$parts diverged")
+      assert(got == expectedAll, s"layout parts=$parts diverged")
     }
   }
 
