@@ -223,6 +223,25 @@ object SparkEntry {
         withKeepHeur(docs(s, dir).select(col("source"), col("text"))),
         "source", "keep_heur")),
 
+    // URL canonicalization (the key URL-level dedup joins on): messy
+    // variants synthesized deterministically from doc_id on BOTH sides —
+    // uppercase scheme/host, default + explicit ports, tracking params
+    // interleaved with real ones, fragments, bare-slash paths
+    "q_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(
+        lit("HTTPS://Host-"), (id % 50).cast("string"), lit(".Example"),
+        when(id % 4 === 0, ":443").when(id % 4 === 1, ":8080").otherwise(""),
+        when(id % 3 === 0, lit("/"))
+          .otherwise(concat(lit("/p/"), id.cast("string"))),
+        when(id % 2 === 0, concat(lit("?utm_source=x&id="), id.cast("string")))
+          .when(id % 7 === 0, lit("?a=1&utm_campaign=z&b=2"))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+        graft.spark.WebOps.canonicalUrl(messy).as("canon_url"))
+    }),
+
     // token-budget sharding (shard-manifest step before tokenized training
     // data is written): shard = floor(prefix_tokens_before / budget) in
     // doc-id order — computed with the two-phase distributed prefix sum
@@ -840,6 +859,31 @@ object SparkEntry {
       " CAST(floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) AS BIGINT) AS keep_rate_milli," +
       " (floor(1000.0 * SUM(CAST(keep AS BIGINT)) / COUNT(*)) < 500) AS blocked" +
       " FROM k GROUP BY source"),
+
+    "q_url_canon" -> ("WITH u AS (SELECT doc_id," +
+      " 'HTTPS://Host-' || CAST(doc_id % 50 AS VARCHAR) || '.Example' ||" +
+      " CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||" +
+      " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||" +
+      " CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)" +
+      "      WHEN doc_id % 7 = 0 THEN '?a=1&utm_campaign=z&b=2' ELSE '' END ||" +
+      " CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url FROM documents)," +
+      " p1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u)," +
+      " p2 AS (SELECT doc_id," +
+      "   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme," +
+      "   regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p1)," +
+      " p3 AS (SELECT doc_id, scheme," +
+      "   lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hp0," +
+      "   regexp_replace(rest, '^[^/?]+', '') AS after FROM p2)," +
+      " p4 AS (SELECT doc_id, scheme," +
+      "   CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '')" +
+      "        WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '')" +
+      "        ELSE hp0 END AS hp," +
+      "   regexp_extract(after, '^([^?]*)', 1) AS path," +
+      "   array_to_string(list_filter(string_split(regexp_extract(after, '\\?(.*)$', 1), '&')," +
+      "     x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)=')), '&') AS kept FROM p3)" +
+      " SELECT doc_id, scheme || '://' || hp ||" +
+      "  CASE WHEN path = '/' AND kept = '' THEN '' ELSE path END ||" +
+      "  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url FROM p4"),
 
     "q_token_shards" -> ("WITH t AS (SELECT doc_id," +
       " CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n" +

@@ -123,6 +123,40 @@ object WebOps {
   /** Host of a url (scheme-independent). */
   def hostOf(url: Column): Column = Pipeline.hostCol(url)
 
+  /** Canonical form of a crawl URL — the key URL-level dedup joins on
+    * (two fetches of the same page routinely differ only in tracking
+    * params, fragment, host case, or a default port):
+    *  - fragment stripped;
+    *  - scheme and host:port lowercased;
+    *  - default port dropped (`:80` for http, `:443` for https);
+    *  - `utm_*`, `gclid`, `fbclid` query params removed (param order is
+    *    otherwise PRESERVED — sorting would conflate `?a=1&b=2` pages
+    *    whose servers treat order as meaningful);
+    *  - a bare `/` path with no query collapses to the empty path.
+    *
+    * Built from native string expressions only (regexp + split/filter/
+    * array_join — all inside whole-stage codegen, no UDF), and every step
+    * has an exact DuckDB equivalent, so the driver oracle reproduces it
+    * verbatim (`q_url_canon`). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort0 = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val hostPort = when(scheme === "http", regexp_replace(hostPort0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort0, ":443$", ""))
+      .otherwise(hostPort0)
+    val after = regexp_replace(rest, "^[^/?]+", "") // path[?query]
+    val path = regexp_extract(after, "^([^?]*)", 1)
+    val query = regexp_extract(after, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|gclid|fbclid)=")), "&")
+    val canonPath = when(path === "/" && kept === "", "").otherwise(path)
+    concat(scheme, lit("://"), hostPort, canonPath,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Token-budget sharding — assign every document to a training shard so
     * each shard holds ≈`budget` tokens in id order (the sample-packing /
     * shard-manifest step before tokenized training data is written):

@@ -125,6 +125,23 @@ class WebOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalization: ports, case, tracking params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://Ex.Example:443/p/1?utm_source=a&x=1#top" ->
+        "https://ex.example/p/1?x=1",
+      "http://EX.example:80/" -> "http://ex.example",
+      "http://ex.example:8080/a/" -> "http://ex.example:8080/a/",
+      "https://ex.example/?utm_campaign=z" -> "https://ex.example",
+      "https://ex.example/p?a=1&gclid=g&b=2&fbclid=f" ->
+        "https://ex.example/p?a=1&b=2",
+      "https://ex.example/p/2" -> "https://ex.example/p/2")
+    val got = cases.map(_._1).toDF("u")
+      .select(WebOps.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, w)) => g != w }.mkString("; "))
+  }
+
   test("source reputation blocks low-keep-rate sources") {
     import spark.implicits._
     val docs = Seq(
