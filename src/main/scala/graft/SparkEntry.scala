@@ -479,6 +479,14 @@ object SparkEntry {
       graft.spark.Decontam.run(docs(s, dir), "doc_id", "text",
         docs(s, dir).where(col("doc_id") % 97 === 0), "text")),
 
+    // decontam ATTRIBUTION (the inverse report): per BENCHMARK doc, how
+    // many corpus docs share a 13-gram with it — over the planted-dup
+    // corpus so real multi-doc leakage is on the line (bench doc 0 has an
+    // exact and a near copy); CPython twin recomputes the cross product
+    "q_decontam_report" -> ((s, dir) =>
+      graft.spark.Decontam.report(docsDedup(s, dir), "text",
+        docs(s, dir).where(col("doc_id") % 97 === 0), "doc_id", "text")),
+
     // input validation (op 1): size bounds + source allowlist, both
     // pushdown-friendly predicates
     "q_validate" -> ((s, dir) =>
@@ -1135,6 +1143,10 @@ object SparkEntry {
     "q_decontam" ->
       ("SELECT doc_id, n_hits13, contaminated FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/decontam.parquet')"),
+
+    "q_decontam_report" ->
+      ("SELECT bench_id, n_docs FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/decontam_report.parquet')"),
 
     "q_quality_train" ->
       ("SELECT feature, w_micro FROM read_parquet(" +

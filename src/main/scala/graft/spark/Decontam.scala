@@ -71,4 +71,62 @@ object Decontam {
           bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame =
     mark(docs, idCol, textCol,
       benchmarkHashes(bench, benchTextCol, k), k)
+
+  /** Leakage ATTRIBUTION — the inverse report of [[mark]]: for each
+    * BENCHMARK document, how many corpus documents share at least one
+    * k-shingle with it (the "which eval doc leaked, and how widely"
+    * question a decontam run has to answer before anyone re-splits or
+    * re-crawls).
+    *
+    * Scale shape: the benchmark side (eval-set-sized) is collected as a
+    * (benchId, distinct shingle hashes) relation under `maxShingles`,
+    * inverted into one broadcast of sorted hashes + aligned owner-id
+    * lists; the corpus side stays ONE narrow scan emitting each matched
+    * bench id at most once per corpus doc, and the only shuffle is the
+    * benchmark-sized count aggregation. Benchmark docs with zero leaks
+    * appear with n_docs = 0 (an outer join against the tiny bench side).
+    */
+  def report(docs: DataFrame, textCol: String,
+             bench: DataFrame, benchIdCol: String, benchTextCol: String,
+             k: Int = 13, maxShingles: Int = 50000000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val benchRows = bench
+      .select(col(benchIdCol).cast("long"), col(benchTextCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else shingleHashes(t, k).iterator.map(h => (h, id))
+      }
+      .distinct().limit(maxShingles + 1).collect()
+    require(benchRows.length <= maxShingles,
+      s"benchmark exceeds maxShingles=$maxShingles distinct (hash, id) " +
+        "pairs — raise the bound (the relation is driver-collected)")
+    // invert: sorted hash array + aligned owner lists (a hash can belong
+    // to several benchmark docs)
+    val byHash = benchRows.groupBy(_._1)
+    val hashes = byHash.keys.toArray
+    java.util.Arrays.sort(hashes)
+    val owners: Array[Array[Long]] =
+      hashes.map(h => byHash(h).map(_._2).distinct.sorted)
+    val b = docs.sparkSession.sparkContext.broadcast((hashes, owners))
+    val hitBench = docs.select(col(textCol).cast("string")).as[String]
+      .flatMap { t =>
+        if (t == null) Iterator.empty
+        else {
+          val (hs, own) = b.value
+          // each matched bench id once per corpus doc
+          val seen = scala.collection.mutable.SortedSet.empty[Long]
+          shingleHashes(t, k).foreach { h =>
+            val i = java.util.Arrays.binarySearch(hs, h)
+            if (i >= 0) own(i).foreach(seen += _)
+          }
+          seen.iterator
+        }
+      }
+      .toDF("bench_id")
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_docs"))
+    bench.select(col(benchIdCol).cast("long").as("bench_id"))
+      .join(hitBench, Seq("bench_id"), "left")
+      .select(col("bench_id"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

@@ -56,4 +56,20 @@ class DecontamSpec extends AnyFunSuite {
     assert(got.count() == 500)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("leakage attribution counts corpus docs per benchmark doc, zeros kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn extra tail"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn other suffix"),
+      (3L, "completely different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"), // leaked twice
+      (200L, "zz yy xx ww vv uu tt ss rr qq pp oo nn2 mm2") // leaked nowhere
+    ).toDF("bench_id", "text")
+    val got = Decontam.report(corpus, "text", bench, "bench_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 2L, 200L -> 0L), got.toString)
+  }
 }

@@ -648,6 +648,24 @@ pq.write_table(pa.table({
 print(f"wrote {OUT}/decontam.parquet "
       f"({sum(1 for r in dc_rows if r[2])} contaminated of {len(dc_rows)})")
 
+# q_decontam_report expected: per-BENCHMARK-doc leakage attribution
+# (Decontam.report twin) — n corpus docs sharing >=1 13-gram with each
+# bench doc (bench members count themselves when they have a shingle).
+dcr_bench = [(d, t) for d, t in rows if d % 97 == 0]
+dcr_sets = {d: {hash64(x) for x in set(shingles(t, DC_K))} for d, t in dcr_bench}
+dcr = {d: 0 for d, _ in dcr_bench}
+for cd, t in ddocs:  # the planted-duplicate corpus: real multi-doc leaks
+    doc_hs = {hash64(x) for x in shingles(t, DC_K)}
+    for bd, hs in dcr_sets.items():
+        if doc_hs & hs:
+            dcr[bd] += 1
+dcr_rows = sorted(dcr.items())
+pq.write_table(pa.table({
+    "bench_id": pa.array([r[0] for r in dcr_rows], pa.int64()),
+    "n_docs": pa.array([r[1] for r in dcr_rows], pa.int64()),
+}), f"{OUT}/decontam_report.parquet")
+print(f"wrote {OUT}/decontam_report.parquet ({len(dcr_rows)} bench docs)")
+
 # ---------------------------------------------------------------------------
 # q_quality_train expected: closed-form class-weighted ridge least-squares
 # distillation (QualityTrain twin). Exact integer sufficient statistics,
