@@ -479,6 +479,25 @@ object SparkEntry {
       graft.spark.Decontam.run(docs(s, dir), "doc_id", "text",
         docs(s, dir).where(col("doc_id") % 97 === 0), "text")),
 
+    // TOXICITY filter + scrub (the north-rule's second scrub family,
+    // C4-style word blocklist): counts, in-place masking, and the C4
+    // drop-on-any-hit flag — native regex expressions with an exact
+    // DuckDB mirror; toxic terms planted deterministically (the corpus
+    // itself is clean)
+    "q_toxicity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val tox = graft.spark.Toxicity
+      val planted = concat(col("text"),
+        when(id % 11 === 0, lit(" well damn that spam")).otherwise(lit("")),
+        when(id % 13 === 0, lit(" what the Hell happened")).otherwise(lit("")),
+        when(id % 17 === 0, lit(" total CRAP content here")).otherwise(lit("")))
+      docs(s, dir).withColumn("t", planted)
+        .select(col("doc_id"),
+          tox.count(col("t")).as("n_toxic"),
+          tox.scrub(col("t")).as("scrubbed_tox"),
+          tox.dropFlag(tox.count(col("t"))).as("dropped"))
+    }),
+
     // decontam ATTRIBUTION (the inverse report): per BENCHMARK doc, how
     // many corpus docs share a 13-gram with it — over the planted-dup
     // corpus so real multi-doc leakage is on the line (bench doc 0 has an
@@ -1147,6 +1166,18 @@ object SparkEntry {
     "q_decontam_report" ->
       ("SELECT bench_id, n_docs FROM read_parquet(" +
         s"'$GoldenDir/expected_sf0.01/decontam_report.parquet')"),
+
+    "q_toxicity" -> {
+      val pat = graft.spark.Toxicity.pattern()
+      ("WITH t AS (SELECT doc_id, text ||" +
+        " CASE WHEN doc_id % 11 = 0 THEN ' well damn that spam' ELSE '' END ||" +
+        " CASE WHEN doc_id % 13 = 0 THEN ' what the Hell happened' ELSE '' END ||" +
+        " CASE WHEN doc_id % 17 = 0 THEN ' total CRAP content here' ELSE '' END AS tx" +
+        " FROM documents)" +
+        s" SELECT doc_id, CAST(len(regexp_extract_all(tx, '$pat')) AS BIGINT) AS n_toxic," +
+        s" regexp_replace(tx, '$pat', '<TOXIC>', 'g') AS scrubbed_tox," +
+        s" len(regexp_extract_all(tx, '$pat')) > 0 AS dropped FROM t")
+    },
 
     "q_quality_train" ->
       ("SELECT feature, w_micro FROM read_parquet(" +
