@@ -75,7 +75,15 @@ object Pipeline {
         * unseen entities the gazetteer cannot. Forces the broadcast-UDF
         * stage path (the native expression carries only the embedded
         * gazetteer artifact); ignored at MAXIMUM, like the gazetteer. */
-      trainedNer: Option[graft.core.NerTag.NerTagModel] = None) {
+      trainedNer: Option[graft.core.NerTag.NerTagModel] = None,
+      /** Optional toxicity blocklist ([[Toxicity]], C4 semantics): when
+        * set, docs whose text hits the list more than `toxicityMaxHits`
+        * times drop with reason "toxicity" (evaluated AFTER every
+        * reference-derived rule, so their drop_reason attribution is
+        * unchanged) and an `n_toxic` column is surfaced. Default off —
+        * the reference pipeline is PII-only. */
+      toxicity: Option[Seq[String]] = None,
+      toxicityMaxHits: Long = 0L) {
     /** Effective level after the reference's deprecated_map collapse. */
     def effectiveLevel: SecurityLevel = SecurityLevel.collapse(security)
     /** main.py:241-245: model NER runs iff effective level != MAXIMUM. */
@@ -136,6 +144,19 @@ object Pipeline {
         .when(latin && col("ppl") > qc.maxPpl, "perplexity")
         .otherwise("")
 
+    // toxicity (our extension — the reference is PII-only): lowest
+    // priority, so every reference-derived drop_reason is attributed
+    // exactly as before; the count column exists only when enabled
+    val (dropReasonFinal, toxCols) = conf.toxicity match {
+      case Some(ws) =>
+        val n = Toxicity.count(col("text"), ws)
+        (when(dropReason =!= lit(""), dropReason)
+          .when(n > lit(conf.toxicityMaxHits), "toxicity")
+          .otherwise(""),
+          Seq(n.as("n_toxic")))
+      case None => (dropReason, Seq.empty[Column])
+    }
+
     // model-assisted NER (ENHANCED level, main.py:241-245): the hits are
     // computed INSIDE the fused stage (one automaton pass per row), merged
     // into the scrubbed text + n_hits there, and surfaced as a column only
@@ -143,7 +164,7 @@ object Pipeline {
     val nerCols =
       if (conf.modelNer) Seq(col("r.model_hits").as("model_hits")) else Seq.empty
     withStages
-      .withColumn("drop_reason", dropReason)
+      .withColumn("drop_reason", dropReasonFinal)
       .withColumn("keep", col("drop_reason") === lit(""))
       .select(Seq(
         col("url"), col("warc_ts"), col("lang").as("lang_claimed"),
@@ -152,7 +173,7 @@ object Pipeline {
         col("keep"), col("drop_reason"),
         col("scrub.scrubbed").as("scrubbed_text"),
         col("scrub.aliases").as("alias_dict"),
-        col("scrub.counts").as("n_hits")) ++ nerCols: _*)
+        col("scrub.counts").as("n_hits")) ++ nerCols ++ toxCols: _*)
   }
 
   /** Training-pipeline order: exact-dedup the crawl BEFORE paying for

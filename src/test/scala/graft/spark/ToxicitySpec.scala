@@ -40,6 +40,32 @@ class ToxicitySpec extends AnyFunSuite {
     assert(rescrub.forall(_ == 0L))
   }
 
+  test("pipeline toxicity stage: lowest-priority drop, count surfaced, " +
+      "default conf unchanged") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://t.example/1", new java.sql.Timestamp(0L), Array.empty[Byte],
+        "The library opens at nine in the morning and closes at eight in " +
+          "the evening. Most readers scan the first damn page of a report " +
+          "and then move on to other work without any delay at all.", "en"),
+      ("https://t.example/2", new java.sql.Timestamp(0L), Array.empty[Byte],
+        "The library opens at nine in the morning and closes at eight in " +
+          "the evening. Most readers scan the first page of a report and " +
+          "then move on to other work without any delay at all.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val out = Pipeline.run(spark, pages,
+      Pipeline.Conf(toxicity = Some(Toxicity.DefaultList)))
+      .select("url", "keep", "drop_reason", "n_toxic")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getString(2), r.getLong(3))).toMap
+    assert(out("https://t.example/1") == ((false, "toxicity", 1L)))
+    assert(out("https://t.example/2") == ((true, "", 0L)))
+    // default conf: no n_toxic column, doc 1 keeps (reference is PII-only)
+    val dflt = Pipeline.run(spark, pages)
+    assert(!dflt.columns.contains("n_toxic"))
+    assert(dflt.where(col("keep")).count() == 2)
+  }
+
   test("automaton tier agrees with the regex tier on every case") {
     val m = Toxicity.Matcher(Toxicity.DefaultList)
     cases.foreach { case (in, want) =>
