@@ -1168,7 +1168,9 @@ object SparkEntry {
         s"'$GoldenDir/expected_sf0.01/decontam_report.parquet')"),
 
     "q_toxicity" -> {
-      val pat = graft.spark.Toxicity.pattern()
+      // RE2 form: same ASCII-boundary/ASCII-fold semantics the Spark
+      // expression spells out with Java lookarounds + case classes
+      val pat = graft.spark.Toxicity.oraclePattern()
       ("WITH t AS (SELECT doc_id, text ||" +
         " CASE WHEN doc_id % 11 = 0 THEN ' well damn that spam' ELSE '' END ||" +
         " CASE WHEN doc_id % 13 = 0 THEN ' what the Hell happened' ELSE '' END ||" +

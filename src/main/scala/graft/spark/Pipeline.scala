@@ -151,7 +151,7 @@ object Pipeline {
       case Some(ws) =>
         val n = Toxicity.count(col("text"), ws)
         (when(dropReason =!= lit(""), dropReason)
-          .when(n > lit(conf.toxicityMaxHits), "toxicity")
+          .when(Toxicity.dropFlag(n, conf.toxicityMaxHits), "toxicity")
           .otherwise(""),
           Seq(n.as("n_toxic")))
       case None => (dropReason, Seq.empty[Column])

@@ -37,15 +37,30 @@ object Toxicity {
     "damn", "hell", "crap", "shit", "fuck", "bastard", "bitch",
     "asshole", "piss", "slut", "whore", "dick")
 
-  /** One case-insensitive word-boundary union over the list — identical
-    * syntax and semantics in Java regex and DuckDB's RE2 for ASCII
-    * words. */
-  def pattern(words: Seq[String] = DefaultList): String = {
+  /** The ONE semantic all tiers implement: ASCII word boundaries
+    * ([A-Za-z0-9_] delimits) and ASCII-only case folding. Neither engine
+    * default gives this portably — Java's `\b` is Unicode-aware (no match
+    * in "damn山") while RE2's is ASCII (match), and `(?i)` folds ASCII-
+    * only in Java but Unicode-simple in RE2 (U+212A KELVIN ≡ k) — so the
+    * pattern builders avoid BOTH constructs: case classes `[Dd][Aa]...`
+    * instead of `(?i)`, and per-engine boundary syntax with identical
+    * meaning (Java lookarounds; RE2's already-ASCII `\b`). */
+  private def union(words: Seq[String]): String = {
     require(words.nonEmpty && words.forall(_.matches("[A-Za-z]+")),
-      "blocklist terms must be plain ASCII words (the boundary semantics " +
-        "both engines share); use the automaton tier for anything else")
-    "(?i)\\b(?:" + words.mkString("|") + ")\\b"
+      "blocklist terms must be plain ASCII words (the shared boundary " +
+        "semantics); use the automaton tier for anything else")
+    words.map(_.map(c => s"[${c.toUpper}${c.toLower}]").mkString)
+      .mkString("(?:", "|", ")")
   }
+
+  /** Java-regex form (Spark expressions): ASCII lookaround boundaries. */
+  def pattern(words: Seq[String] = DefaultList): String =
+    "(?<![A-Za-z0-9_])" + union(words) + "(?![A-Za-z0-9_])"
+
+  /** RE2 form (the DuckDB oracle): RE2 has no lookarounds, but its `\b`
+    * IS the ASCII boundary the Java form spells out. */
+  def oraclePattern(words: Seq[String] = DefaultList): String =
+    "\\b" + union(words) + "\\b"
 
   /** Per-doc toxic-term count (native expression). */
   def count(text: Column, words: Seq[String] = DefaultList): Column =
@@ -63,18 +78,32 @@ object Toxicity {
 
   // ---- automaton tier (list-size-independent scan) -------------------------
 
-  /** Compiled blocklist: lowercase Aho-Corasick + word-boundary check. */
+  /** Compiled blocklist: ASCII-lowercased Aho-Corasick + ASCII boundary
+    * check — the same folding the regex tiers' case classes express.
+    * ASCII-only folding is deliberate: full-Unicode toLowerCase would
+    * both fold characters the regex tiers do not (U+212A KELVIN → k) and
+    * change string LENGTH (U+0130 → two chars), shifting every offset. */
   final case class Matcher(words: Seq[String]) extends Serializable {
-    @transient private lazy val lowered = words.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    @transient private lazy val lowered = words.map(asciiLower).toArray
     @transient private lazy val ac = new AhoCorasick(lowered)
     private def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'
+    private def asciiLower(s: String): String = {
+      val b = new Array[Char](s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        b(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(b)
+    }
 
-    /** Count of word-boundary-delimited occurrences (case-insensitive). */
+    /** Count of ASCII-boundary-delimited occurrences (ASCII-folded). */
     def countIn(t: String): Long = {
       if (t == null) return 0L
-      val lower = t.toLowerCase(java.util.Locale.ROOT)
+      val lower = asciiLower(t)
       var n = 0L
       ac.findAll(lower).foreach { case (pi, end) =>
         val start = end - lowered(pi).length

@@ -124,6 +124,8 @@ class PlanSpec extends AnyFunSuite {
     // join's ClusteredDistribution at plan time; a non-bucketed pair would
     // shuffle BOTH corpus-sized sides on every downstream join
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -143,8 +145,11 @@ class PlanSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS bspec_corpus")
       spark.sql("DROP TABLE IF EXISTS bspec_labels")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
   }
 

@@ -17,7 +17,12 @@ class ToxicitySpec extends AnyFunSuite {
     "damn. Damn, DAMN!" -> 3L,                 // punctuation boundaries
     "crap_count is a variable" -> 0L,          // underscore is a word char
     "clean text with no matches at all" -> 0L,
-    "damn crap hell" -> 3L)
+    "damn crap hell" -> 3L,
+    // CJK-adjacent: the ASCII boundary counts these (Java's Unicode \b
+    // would not — the pattern spells the boundary out with lookarounds
+    // precisely so all tiers and the RE2 oracle agree here)
+    "damn山 and 山damn and クソdamnクソ" -> 3L,
+    "くそHellくそ" -> 1L)
 
   test("regex tier: boundary-exact counts, scrub masks in place, C4 drop") {
     import spark.implicits._
@@ -72,15 +77,24 @@ class ToxicitySpec extends AnyFunSuite {
       assert(m.countIn(in) == want, s"automaton count for '$in'")
     }
     assert(m.countIn(null) == 0L)
-    // and across a generated corpus slice (both tiers over real text)
+    // and across a generated corpus slice with toxic fragments PLANTED
+    // (the raw pool contains no blocklist words — an unplanted sweep
+    // would only ever compare 0 == 0), exercising the broadcast UDF path
     import spark.implicits._
-    val texts = DataGen.pages(spark, 300).toDF()
-      .select(col("text")).as[String].collect()
+    val planted = DataGen.pages(spark, 300).toDF()
+      .withColumn("t", concat(col("text"),
+        when(pmod(hash(col("url")), lit(3)) === 0, lit(" damn山 hell"))
+          .when(pmod(hash(col("url")), lit(3)) === 1, lit(" so Crap, ok"))
+          .otherwise(lit(" clean tail"))))
     val b = spark.sparkContext.broadcast(m)
-    texts.foreach { t =>
-      val viaRegex = java.util.regex.Pattern.compile(Toxicity.pattern())
-        .matcher(t).results().count()
-      assert(b.value.countIn(t) == viaRegex, "tier divergence on corpus text")
+    val viaUdf = planted
+      .select(col("t"), Toxicity.countUdf(b)(col("t")).as("n_auto"),
+        Toxicity.count(col("t")).as("n_regex"))
+      .collect()
+    assert(viaUdf.exists(_.getLong(1) > 0L), "planting produced no hits")
+    viaUdf.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"tier divergence on: ...${r.getString(0).takeRight(40)}")
     }
   }
 }
