@@ -163,6 +163,14 @@ object Pipeline {
     // when the level enables them — at MAXIMUM the field is pruned away.
     val nerCols =
       if (conf.modelNer) Seq(col("r.model_hits").as("model_hits")) else Seq.empty
+    // with toxicity enabled the OUTPUT text carries both maskings — PII
+    // aliases from the fused stage, then the blocklist mask on top (the
+    // north-rule's "PII/toxicity-scrub"); survivors under a lenient
+    // toxicityMaxHits therefore never ship a listed term
+    val scrubbedOut = conf.toxicity match {
+      case Some(ws) => Toxicity.scrub(col("scrub.scrubbed"), ws)
+      case None => col("scrub.scrubbed")
+    }
     withStages
       .withColumn("drop_reason", dropReasonFinal)
       .withColumn("keep", col("drop_reason") === lit(""))
@@ -171,7 +179,7 @@ object Pipeline {
         col("lang_guess.lang").as("lang_id"), col("lang_guess.conf").as("lang_conf"),
         col("ppl"), col("q").as("quality"),
         col("keep"), col("drop_reason"),
-        col("scrub.scrubbed").as("scrubbed_text"),
+        scrubbedOut.as("scrubbed_text"),
         col("scrub.aliases").as("alias_dict"),
         col("scrub.counts").as("n_hits")) ++ nerCols ++ toxCols: _*)
   }

@@ -69,6 +69,15 @@ class ToxicitySpec extends AnyFunSuite {
     val dflt = Pipeline.run(spark, pages)
     assert(!dflt.columns.contains("n_toxic"))
     assert(dflt.where(col("keep")).count() == 2)
+    // lenient threshold: the survivor's OUTPUT text carries the mask —
+    // PII/toxicity-scrub means a kept doc never ships a listed term
+    val lenient = Pipeline.run(spark, pages, Pipeline.Conf(
+      toxicity = Some(Toxicity.DefaultList), toxicityMaxHits = 5L))
+      .where(col("url") === "https://t.example/1")
+      .select("keep", "scrubbed_text").head()
+    assert(lenient.getBoolean(0))
+    assert(lenient.getString(1).contains("<TOXIC>") &&
+      !lenient.getString(1).contains("damn"), lenient.getString(1))
   }
 
   test("automaton tier agrees with the regex tier on every case") {
