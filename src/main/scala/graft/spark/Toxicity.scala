@@ -62,11 +62,14 @@ object Toxicity {
   def oraclePattern(words: Seq[String] = DefaultList): String =
     "\\b" + union(words) + "\\b"
 
-  /** Per-doc toxic-term count (native expression). */
+  /** Per-doc toxic-term count (native expression; total — null text
+    * counts 0, independent of the legacy sizeOfNull setting). */
   def count(text: Column, words: Seq[String] = DefaultList): Column =
-    size(regexp_extract_all(text, lit(pattern(words)), lit(0))).cast("long")
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(pattern(words)), lit(0)))
+        .cast("long"))
 
-  /** Toxicity scrub: mask every listed term in place. */
+  /** Toxicity scrub: mask every listed term in place (null in, null out). */
   def scrub(text: Column, words: Seq[String] = DefaultList,
             mask: String = "<TOXIC>"): Column =
     regexp_replace(text, pattern(words), mask)

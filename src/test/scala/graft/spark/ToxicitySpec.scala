@@ -43,6 +43,10 @@ class ToxicitySpec extends AnyFunSuite {
     val rescrub = rows.map(_.getString(2)).toSeq.toDF("t")
       .select(Toxicity.count(col("t"))).collect().map(_.getLong(0))
     assert(rescrub.forall(_ == 0L))
+    // total on null text: count 0, not null
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) t")
+      .select(Toxicity.count(col("t"))).head()
+    assert(!nullRow.isNullAt(0) && nullRow.getLong(0) == 0L)
   }
 
   test("pipeline toxicity stage: lowest-priority drop, count surfaced, " +
