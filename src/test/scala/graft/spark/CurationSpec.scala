@@ -63,6 +63,31 @@ class CurationSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < 1564)
   }
 
+  test("all optional stages compose: ENHANCED + trained tagger + toxicity") {
+    import spark.implicits._
+    val tagger = NerTagTrain.train(spark, DataGen.pages(spark, 400).toDF(), "text")
+    val base = DataGen.pages(spark, 300).toDF()
+    val toxic = Seq(("https://toxic.example/1",
+      new java.sql.Timestamp(0L), Array.empty[Byte],
+      "The library opens at nine in the morning and closes at eight in " +
+        "the evening. Most readers scan the first damn page of a report " +
+        "and then move on to other work without any delay at all.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val conf = Pipeline.Conf(security = Pipeline.SecurityLevel.Enhanced,
+      trainedNer = Some(tagger), toxicity = Some(Toxicity.DefaultList))
+    val (curated, r) = Curation.curate(spark, base.unionByName(toxic), conf,
+      inputRows = Some(301L))
+    assert(r.kept <= r.input && r.afterNearDup <= r.kept)
+    assert(curated.count() == r.afterNearDup)
+    // the planted toxic page dropped (C4 rule), so it cannot survive
+    assert(curated.where(col("url") === "https://toxic.example/1").isEmpty)
+    // survivors carry the ENHANCED columns and no listed term
+    assert(curated.columns.contains("model_hits") &&
+      curated.columns.contains("n_toxic"))
+    assert(curated.where(col("scrubbed_text").rlike(
+      Toxicity.pattern())).isEmpty, "a listed term survived curation")
+  }
+
   test("curated id set is identical across partitionings") {
     val (c1, _) = Curation.curate(spark, corpus.repartition(2))
     val (c2, _) = Curation.curate(spark, corpus.repartition(11))
