@@ -48,10 +48,20 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     // salt width trades shuffle fan-out for parquet-encode parallelism in
-    // the write stage (bench knob; default = Conf default)
+    // the write stage (bench knob; default = Conf default);
+    // SPARK_GRAFT_SECURITY selects the reference's 4-level surface
+    // (maximum default — model NER at enhanced/standard), and
+    // SPARK_GRAFT_TOXICITY=default enables the C4 blocklist stage
+    // (drop + output masking)
     val conf = Pipeline.Conf(scrubMode = scrubMode,
       saltBuckets = sys.env.get("SPARK_GRAFT_SALT").map(_.toInt)
-        .getOrElse(Pipeline.Conf().saltBuckets))
+        .getOrElse(Pipeline.Conf().saltBuckets),
+      security = Pipeline.SecurityLevel.parse(
+        sys.env.getOrElse("SPARK_GRAFT_SECURITY", "maximum")),
+      toxicity = sys.env.get("SPARK_GRAFT_TOXICITY").map {
+        case "default" => graft.spark.Toxicity.DefaultList
+        case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      })
 
     // SPARK_GRAFT_WARMUP=1: one untimed score-only pass first, so the timed
     // write measures JIT steady state (a single cold pass under-reports the
