@@ -301,7 +301,17 @@ object Ann {
             "tombstone is permanent for an id; rebuild the index to re-insert")
       }
     }
-    ivfIndex(df, embCol, cents).write.mode("append")
+    // Schema guard: a parquet append with divergent or reordered columns
+    // would not fail here — it surfaces as null columns or a failed merge
+    // at the NEXT readIndex. Require the appended frame to produce exactly
+    // the stored column set, and write in the stored order.
+    val stored = spark.read.parquet(s"$path/data").columns
+    val indexed = ivfIndex(df, embCol, cents)
+    require(indexed.columns.sorted.sameElements(stored.sorted),
+      s"appendToIndex: appended columns ${indexed.columns.sorted.toSeq} do " +
+        s"not match the index schema ${stored.sorted.toSeq} — appends must " +
+        "carry exactly the indexed columns")
+    indexed.select(stored.map(col).toSeq: _*).write.mode("append")
       .partitionBy("cell").parquet(s"$path/data")
   }
 
@@ -316,11 +326,17 @@ object Ann {
                       ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"tombstone frame must have exactly the id column, got ${ids.columns.toSeq}")
-    val dataCols = spark.read.parquet(s"$path/data").columns
-    require(dataCols.contains(ids.columns(0)),
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains(ids.columns(0)),
       s"tombstone column '${ids.columns(0)}' is not a column of the index " +
-        s"data (${dataCols.toSeq})")
-    ids.distinct().write.mode("append").parquet(s"$path/tombstones")
+        s"data (${data.columns.toSeq})")
+    // Only ids that actually exist in the index become tombstones: a
+    // delete of an absent / never-indexed id would otherwise skew
+    // indexStats.liveRows (dataRows - tombs assumes 1 tombstone = 1 row)
+    // and could fire needsRebuild early. The semi-join costs one scan of
+    // the (pruned-to-one-column) index per maintenance call.
+    ids.distinct().join(data, ids.columns.toSeq, "left_semi")
+      .write.mode("append").parquet(s"$path/tombstones")
   }
 
   final case class IndexStats(liveRows: Long, tombstones: Long,
@@ -352,8 +368,45 @@ object Ann {
       if (fs.exists(tombPath))
         spark.read.parquet(s"$path/tombstones").distinct().count()
       else 0L
-    IndexStats(dataRows - tombs, tombs, cells,
+    // clamped defensively: deleteFromIndex only records existing ids, but
+    // a tombstone table written by an older version (or by hand) may not
+    // honor that invariant
+    IndexStats(math.max(0L, dataRows - tombs), tombs, cells,
       needsRebuild = dataRows > 0 && tombs.toDouble / dataRows > maxTombstoneFrac)
+  }
+
+  /** Rebuild the index in place: re-cluster the SURVIVING rows (tombstones
+    * anti-joined out by [[readIndex]]) with fresh centroids, then atomically
+    * swap the new index in and drop the tombstone table. This is the
+    * [[indexStats]] `needsRebuild` remediation — it restores probe cost
+    * (no more anti-join against dead rows), re-fits the quantizer to the
+    * post-append distribution, and lifts the permanent-tombstone rule for
+    * the deleted ids (they no longer exist anywhere, so re-insertion is
+    * safe again). The new index is built COMPLETELY in a side directory
+    * while the old one keeps serving; the swap is two FS renames, so a
+    * crashed rebuild never leaves a half-written index at `path`.
+    *
+    * @param k cell count for the new quantizer; 0 (default) keeps the old
+    *          one's cell count. Returns the post-rebuild stats. */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   embCol: String, k: Int = 0): IndexStats = {
+    import org.apache.hadoop.fs.Path
+    val (live0, oldCents) = readIndex(spark, path)
+    val kk = if (k > 0) k else oldCents.length
+    val live = live0.drop("cell")
+    val cents = kmeansCentroids(live, embCol, kk)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".rebuild-tmp")
+    val old = new Path(path + ".rebuild-old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    // old index still serves reads while the new one materializes here
+    writeIndex(ivfIndex(live, embCol, cents), cents, tmp.toString)
+    require(fs.rename(p, old), s"rebuildIndex: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rebuildIndex: rename $tmp -> $p failed")
+    fs.delete(old, true) // tombstones die with the old tree
+    indexStats(spark, path)
   }
 
   /** IVF top-k: scan only the `nprobe` cells nearest the query, exact cosine

@@ -90,6 +90,15 @@ object Decontam {
              bench: DataFrame, benchIdCol: String, benchTextCol: String,
              k: Int = 13, maxShingles: Int = 50000000): DataFrame = {
     import docs.sparkSession.implicits._
+    // The bench id is cast to long for the broadcast inversion; a string
+    // id column would cast to null and collapse every benchmark doc into
+    // one null key — a silently wrong attribution report. Fail fast.
+    bench.schema(benchIdCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"Decontam.report requires a numeric benchmark id; '$benchIdCol' " +
+          s"is $other — derive one first (e.g. xxhash64 of the native key)")
+    }
     val benchRows = bench
       .select(col(benchIdCol).cast("long"), col(benchTextCol).cast("string"))
       .as[(Long, String)]
@@ -108,6 +117,14 @@ object Decontam {
     java.util.Arrays.sort(hashes)
     val owners: Array[Array[Long]] =
       hashes.map(h => byHash(h).map(_._2).distinct.sorted)
+    // ~16 B per (hash, owner) pair; past ~100 MB the executor broadcast is
+    // big enough to warn about (the 50M-pair default bound permits ~800 MB)
+    val approxBytes = (hashes.length.toLong + benchRows.length.toLong) * 8L
+    if (approxBytes > 100L * 1024 * 1024)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Decontam.report broadcast ~${approxBytes / (1024 * 1024)} MB " +
+          s"(${hashes.length} hashes / ${benchRows.length} pairs) — " +
+          "consider lowering maxShingles or sharding the benchmark")
     val b = docs.sparkSession.sparkContext.broadcast((hashes, owners))
     val hitBench = docs.select(col(textCol).cast("string")).as[String]
       .flatMap { t =>

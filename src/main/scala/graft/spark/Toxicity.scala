@@ -49,7 +49,12 @@ object Toxicity {
     require(words.nonEmpty && words.forall(_.matches("[A-Za-z]+")),
       "blocklist terms must be plain ASCII words (the shared boundary " +
         "semantics); use the automaton tier for anything else")
-    words.map(_.map(c => s"[${c.toUpper}${c.toLower}]").mkString)
+    // Dedupe AFTER case folding: a list containing both "Damn" and "damn"
+    // must not break the tier equivalence (the regex union matches once
+    // per position regardless, but an un-deduped automaton would emit one
+    // hit per duplicate pattern and double-count).
+    words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      .map(_.map(c => s"[${c.toUpper}${c.toLower}]").mkString)
       .mkString("(?:", "|", ")")
   }
 
@@ -87,7 +92,8 @@ object Toxicity {
     * both fold characters the regex tiers do not (U+212A KELVIN → k) and
     * change string LENGTH (U+0130 → two chars), shifting every offset. */
   final case class Matcher(words: Seq[String]) extends Serializable {
-    @transient private lazy val lowered = words.map(asciiLower).toArray
+    // dedupe after folding — mirrors union(); see the comment there
+    @transient private lazy val lowered = words.map(asciiLower).distinct.toArray
     @transient private lazy val ac = new AhoCorasick(lowered)
     private def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||

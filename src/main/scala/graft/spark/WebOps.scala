@@ -177,6 +177,15 @@ object WebOps {
   def tokenShards(df: DataFrame, idCol: String, nTokensCol: String,
                   budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // The id is cast to long for the range partitioner; a non-numeric id
+    // column (url-keyed corpora) would cast every row to null and silently
+    // return an EMPTY sharding. Fail fast instead.
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"tokenShards requires a numeric id column; '$idCol' is $other — " +
+          "derive one first (e.g. xxhash64(url))")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     // ONE RDD object for both passes: Dataset.rdd builds a fresh physical

@@ -65,7 +65,7 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       "tombstone anti-join must broadcast, not shuffle")
   }
 
-  test("rebuild threshold fires on tombstone pileup") {
+  test("rebuild threshold fires on tombstone pileup; rebuildIndex resets it") {
     import spark.implicits._
     val (_, base, _, _, dir) = fixture()
     val s0 = Ann.indexStats(spark, dir)
@@ -76,5 +76,52 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     val s1 = Ann.indexStats(spark, dir)
     assert(s1.needsRebuild, s"expected rebuild at ${s1.tombstones}/$n tombstones")
     assert(s1.liveRows == n - s1.tombstones)
+    // rebuild: survivors re-clustered, tombstone table dropped, stats reset
+    val deadIds = victims.collect().map(_.getLong(0)).toSet
+    val s2 = Ann.rebuildIndex(spark, dir, "embedding")
+    assert(!s2.needsRebuild && s2.tombstones == 0L,
+      s"rebuild did not reset stats: $s2")
+    assert(s2.liveRows == s1.liveRows, s"rebuild changed live rows: $s1 -> $s2")
+    // recall restored: a survivor is its own top hit; dead ids stay gone
+    val (indexed, cents) = Ann.readIndex(spark, dir)
+    val probe = base.where(!col("vec_id").isin(deadIds.toSeq.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).head()
+    val top = Ann.ivfTopK(indexed, "vec_id", "embedding", cents,
+      probe.getSeq[Float](1).toArray, k = 5, nprobe = cents.length)
+    assert(top.head().getLong(0) == probe.getLong(0),
+      "survivor not retrievable after rebuild")
+    assert(indexed.where(col("vec_id").isin(deadIds.toSeq.map(Long.box): _*))
+      .isEmpty, "tombstoned rows resurrected by rebuild")
+    // the permanent-tombstone rule lifts with the rebuild: the deleted id
+    // no longer exists anywhere, so re-inserting it is legal again
+    val resurrect = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") === deadIds.head)
+    Ann.appendToIndex(spark, dir, resurrect, "embedding")
+    assert(Ann.readIndex(spark, dir)._1
+      .where(col("vec_id") === deadIds.head).count() == 1L)
+  }
+
+  test("deleting absent ids records nothing (liveRows stays exact)") {
+    import spark.implicits._
+    val (_, _, _, _, dir) = fixture()
+    val s0 = Ann.indexStats(spark, dir)
+    // ids far outside the corpus: the left-semi filter drops all of them
+    Ann.deleteFromIndex(spark, dir,
+      Seq(9000001L, 9000002L, 9000003L).toDF("vec_id"))
+    val s1 = Ann.indexStats(spark, dir)
+    assert(s1 == s0, s"absent-id delete skewed stats: $s0 -> $s1")
+  }
+
+  test("append with divergent columns fails fast, not at the next read") {
+    val (_, _, extra, _, dir) = fixture()
+    val renamed = extra.withColumnRenamed("vec_id", "row_id")
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIndex(spark, dir, renamed, "embedding")
+    }
+    assert(e.getMessage.contains("do not match the index schema"))
+    val dropped = extra.drop("vec_id")
+    assert(intercept[IllegalArgumentException] {
+      Ann.appendToIndex(spark, dir, dropped, "embedding")
+    }.getMessage.contains("do not match the index schema"))
   }
 }

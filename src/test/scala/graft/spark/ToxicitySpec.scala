@@ -84,6 +84,21 @@ class ToxicitySpec extends AnyFunSuite {
       !lenient.getString(1).contains("damn"), lenient.getString(1))
   }
 
+  test("duplicate blocklist entries count once in BOTH tiers") {
+    // "Damn" and "damn" are the same term after ASCII folding; an
+    // un-deduped automaton would emit one hit per duplicate pattern while
+    // the regex union still matches once per position — breaking the
+    // pinned tier equivalence
+    val dupes = Seq("damn", "Damn", "DAMN", "hell", "hell")
+    val m = Toxicity.Matcher(dupes)
+    val text = "damn that hell of a day"
+    assert(m.countIn(text) == 2L, "automaton double-counted duplicates")
+    import spark.implicits._
+    val viaRegex = Seq(text).toDF("t")
+      .select(Toxicity.count(col("t"), dupes)).head().getLong(0)
+    assert(viaRegex == 2L, "regex tier diverged under duplicates")
+  }
+
   test("automaton tier agrees with the regex tier on every case") {
     val m = Toxicity.Matcher(Toxicity.DefaultList)
     cases.foreach { case (in, want) =>
