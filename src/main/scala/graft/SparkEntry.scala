@@ -498,6 +498,30 @@ object SparkEntry {
           tox.dropFlag(tox.count(col("t"))).as("dropped"))
     }),
 
+    // TOXICITY at UT1/LDNOOBW list scale (10k terms): the AUTOMATON tier
+    // is the one on the line — the production path for real blocklists,
+    // where a regex union is not viable. The oracle reproduces the pinned
+    // boundary semantics WITHOUT a 10k-term regex: for plain-word terms a
+    // boundary-valid occurrence is exactly a maximal [A-Za-z0-9_] token
+    // equal (ASCII-folded) to the term, so the DuckDB twin tokenizes and
+    // joins against the embedded list. Planted: folded-case hits, a
+    // repeated term, and a near-miss suffix token that must NOT count.
+    "q_toxicity_large" -> ((s, dir) => {
+      val tox = graft.spark.Toxicity
+      val ws = tox.syntheticList(10000)
+      val b = s.sparkContext.broadcast(tox.Matcher(ws))
+      val (w1, w2, w3) = (ws(17), ws(4242), ws(9999))
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 7 === 0, lit(s" ${w1.toUpperCase} and $w2 here"))
+          .otherwise(lit("")),
+        when(id % 13 === 0, lit(s" $w3 $w3 again")).otherwise(lit("")),
+        when(id % 11 === 0, lit(s" ${w2}x miss")).otherwise(lit("")))
+      docs(s, dir).withColumn("t", planted)
+        .select(col("doc_id"), tox.countUdf(b)(col("t")).as("n_toxic"))
+        .withColumn("dropped", col("n_toxic") > 0)
+    }),
+
     // decontam ATTRIBUTION (the inverse report): per BENCHMARK doc, how
     // many corpus docs share a 13-gram with it — over the planted-dup
     // corpus so real multi-doc leakage is on the line (bench doc 0 has an
@@ -1179,6 +1203,28 @@ object SparkEntry {
         s" SELECT doc_id, CAST(len(regexp_extract_all(tx, '$pat')) AS BIGINT) AS n_toxic," +
         s" regexp_replace(tx, '$pat', '<TOXIC>', 'g') AS scrubbed_tox," +
         s" len(regexp_extract_all(tx, '$pat')) > 0 AS dropped FROM t")
+    },
+
+    "q_toxicity_large" -> {
+      // Token-equality twin of the automaton tier (see the query comment):
+      // tokenize into maximal ASCII-word runs, fold, join the embedded
+      // 10k-term list. lower() is safe here — tokens are pure ASCII by
+      // construction of the extraction regex.
+      val tox = graft.spark.Toxicity
+      val ws = tox.syntheticList(10000)
+      val (w1, w2, w3) = (ws(17), ws(4242), ws(9999))
+      val listSql = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      ("WITH t AS (SELECT doc_id, text ||" +
+        s" CASE WHEN doc_id % 7 = 0 THEN ' ${w1.toUpperCase} and $w2 here' ELSE '' END ||" +
+        s" CASE WHEN doc_id % 13 = 0 THEN ' $w3 $w3 again' ELSE '' END ||" +
+        s" CASE WHEN doc_id % 11 = 0 THEN ' ${w2}x miss' ELSE '' END AS tx" +
+        " FROM documents)," +
+        " tok AS (SELECT doc_id, unnest(regexp_extract_all(tx, '[A-Za-z0-9_]+')) AS tk FROM t)," +
+        s" w AS (SELECT unnest($listSql) AS w)," +
+        " hits AS (SELECT doc_id, count(*) AS n FROM tok JOIN w ON lower(tk) = w.w GROUP BY doc_id)" +
+        " SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_toxic," +
+        " coalesce(h.n, 0) > 0 AS dropped" +
+        " FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id")
     },
 
     "q_quality_train" ->

@@ -1,6 +1,7 @@
 package graft.spark
 
 import graft.core.{LangId, Perplexity, Quality, Scrub}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,9 +148,24 @@ object Pipeline {
     // toxicity (our extension — the reference is PII-only): lowest
     // priority, so every reference-derived drop_reason is attributed
     // exactly as before; the count column exists only when enabled
+    // Tier dispatch: small curated lists stay on the codegen'd regex
+    // union (oracle-able); anything past RegexTierMax takes the broadcast
+    // Aho-Corasick automaton, whose scan cost is independent of list size
+    // (the UT1/LDNOOBW shape). Both tiers implement the ONE pinned
+    // boundary/fold semantic, so the switch never changes results —
+    // ToxicitySpec pins the equivalence either way.
+    val toxMatcher: Option[Broadcast[Toxicity.Matcher]] = conf.toxicity match {
+      case Some(ws) if ws.size > Toxicity.RegexTierMax =>
+        Some(pages.sparkSession.sparkContext.broadcast(Toxicity.Matcher(ws)))
+      case _ => None
+    }
+    def toxCount(c: Column, ws: Seq[String]): Column = toxMatcher match {
+      case Some(b) => Toxicity.countUdf(b)(c)
+      case None => Toxicity.count(c, ws)
+    }
     val (dropReasonFinal, toxCols) = conf.toxicity match {
       case Some(ws) =>
-        val n = Toxicity.count(col("text"), ws)
+        val n = toxCount(col("text"), ws)
         (when(dropReason =!= lit(""), dropReason)
           .when(Toxicity.dropFlag(n, conf.toxicityMaxHits), "toxicity")
           .otherwise(""),
@@ -167,9 +183,10 @@ object Pipeline {
     // aliases from the fused stage, then the blocklist mask on top (the
     // north-rule's "PII/toxicity-scrub"); survivors under a lenient
     // toxicityMaxHits therefore never ship a listed term
-    val scrubbedOut = conf.toxicity match {
-      case Some(ws) => Toxicity.scrub(col("scrub.scrubbed"), ws)
-      case None => col("scrub.scrubbed")
+    val scrubbedOut = (conf.toxicity, toxMatcher) match {
+      case (_, Some(b)) => Toxicity.scrubUdf(b)(col("scrub.scrubbed"))
+      case (Some(ws), None) => Toxicity.scrub(col("scrub.scrubbed"), ws)
+      case _ => col("scrub.scrubbed")
     }
     withStages
       .withColumn("drop_reason", dropReasonFinal)

@@ -122,10 +122,81 @@ object Toxicity {
       }
       n
     }
+
+    /** Mask every boundary-valid occurrence in place — the automaton twin
+      * of [[Toxicity.scrub]]. Valid hits cannot overlap (terms are plain
+      * words, so a valid hit is a whole [A-Za-z0-9_] token and one token
+      * equals at most one deduped term), but the merge is defensive
+      * anyway. ASCII folding preserves length, so lowered offsets index
+      * the original text directly. */
+    def scrubIn(t: String, mask: String = "<TOXIC>"): String = {
+      if (t == null) return null
+      val lower = asciiLower(t)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      ac.findAll(lower).foreach { case (pi, end) =>
+        val start = end - lowered(pi).length
+        if ((start == 0 || !isWord(lower.charAt(start - 1))) &&
+            (end == lower.length || !isWord(lower.charAt(end))))
+          spans += ((start, end))
+      }
+      if (spans.isEmpty) return t
+      val sorted = spans.sortBy(_._1)
+      val sb = new java.lang.StringBuilder(t.length)
+      var pos = 0
+      sorted.foreach { case (s0, e0) =>
+        if (s0 >= pos) { // skip anything overlapping an already-masked span
+          sb.append(t, pos, s0).append(mask)
+          pos = e0
+        }
+      }
+      sb.append(t, pos, t.length)
+      sb.toString
+    }
   }
 
   /** Automaton-tier count UDF (broadcast matcher — the 100-TB shape for
     * LDNOOBW-scale lists). */
   def countUdf(m: Broadcast[Matcher]) =
     udf { (t: String) => m.value.countIn(t) }
+
+  /** Automaton-tier scrub UDF (null in, null out — mirrors [[scrub]]). */
+  def scrubUdf(m: Broadcast[Matcher], mask: String = "<TOXIC>") =
+    udf { (t: String) => m.value.scrubIn(t, mask) }
+
+  /** Above this list size the pipeline routes through the automaton tier:
+    * a regex union's cost grows with the pattern while the automaton scan
+    * is O(|text|) regardless. A few hundred terms is where a Java
+    * alternation measurably falls behind; curated per-language lists
+    * (UT1/LDNOOBW) are 10k-400k terms and MUST take the automaton. */
+  val RegexTierMax = 64
+
+  /** Deterministic UT1/LDNOOBW-scale placeholder list: `n` distinct
+    * pseudo-words (3-5 syllables, pure [a-z]) from a fixed-seed splitmix64
+    * stream. Stands in for a real curated blocklist — same size, same
+    * shape, shippable in an offline sandbox — so the at-scale automaton
+    * path can be gate-verified and benchmarked for list-size independence. */
+  def syntheticList(n: Int, seed: Long = 0x70C1C17E5EEDL): Seq[String] = {
+    val syll = Array(
+      "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+      "ka", "ke", "ki", "ko", "ku", "ma", "me", "mi", "mo", "mu",
+      "na", "ne", "ni", "no", "nu", "ra", "re", "ri", "ro", "ru",
+      "sa", "se", "si", "so", "su", "ta", "te", "ti", "to", "tu",
+      "za", "ze", "zi", "zo", "zu", "gro", "plo", "tri", "sku", "vex")
+    var s = seed
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (out.size < n) {
+      val k = 3 + java.lang.Math.floorMod(next(), 3L).toInt
+      out += (0 until k)
+        .map(_ => syll(java.lang.Math.floorMod(next(), syll.length.toLong).toInt))
+        .mkString
+    }
+    out.toVector
+  }
 }

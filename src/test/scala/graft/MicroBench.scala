@@ -21,5 +21,12 @@ object MicroBench {
     time("detectAll")(graft.core.Detect.detectAll)
     time("minhash")(t => graft.core.TextDedup.minHash(t, 5, 128))
     time("simhash")(graft.core.TextDedup.simHash)
+    // toxicity automaton: scan cost must be independent of list size
+    // (the whole point of the tier — a regex union is not)
+    Seq(100, 10000, 100000).foreach { n =>
+      val m = graft.spark.Toxicity.Matcher(graft.spark.Toxicity.syntheticList(n))
+      m.countIn(texts(0)) // force automaton build outside the timed loop
+      time(s"tox-ac-$n")(m.countIn)
+    }
   }
 }

@@ -84,6 +84,49 @@ class ToxicitySpec extends AnyFunSuite {
       !lenient.getString(1).contains("damn"), lenient.getString(1))
   }
 
+  test("pipeline routes large lists through the automaton tier, " +
+      "results identical to the regex tier") {
+    import spark.implicits._
+    // 100 terms (> RegexTierMax = 64) forces the automaton path; the same
+    // conf minus padding stays on the regex path — outputs must agree
+    val hot = Seq("damn", "hell")
+    val bigList = hot ++ Toxicity.syntheticList(98)
+    assert(bigList.size > Toxicity.RegexTierMax)
+    val pages = Seq(
+      ("https://t.example/1", new java.sql.Timestamp(0L), Array.empty[Byte],
+        "The library opens at nine in the morning and closes at eight in " +
+          "the evening. Most readers scan the first damn page of a report " +
+          "and then move on to other work without any delay at all.", "en"),
+      ("https://t.example/2", new java.sql.Timestamp(0L), Array.empty[Byte],
+        "The library opens at nine in the morning and closes at eight in " +
+          "the evening. Most readers scan the first page of a report and " +
+          "then move on to other work without any delay at all.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val viaAutomaton = Pipeline.run(spark, pages,
+      Pipeline.Conf(toxicity = Some(bigList), toxicityMaxHits = 5L))
+      .select("url", "keep", "n_toxic", "scrubbed_text")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    val viaRegex = Pipeline.run(spark, pages,
+      Pipeline.Conf(toxicity = Some(hot), toxicityMaxHits = 5L))
+      .select("url", "keep", "n_toxic", "scrubbed_text")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    assert(viaAutomaton == viaRegex,
+      "automaton-tier pipeline diverged from the regex-tier pipeline")
+    assert(viaAutomaton("https://t.example/1")._3.contains("<TOXIC>"))
+  }
+
+  test("automaton scrub masks boundary-valid occurrences only") {
+    val m = Toxicity.Matcher(Seq("damn", "hell"))
+    assert(m.scrubIn("damn that Hell of a day") ==
+      "<TOXIC> that <TOXIC> of a day")
+    assert(m.scrubIn("a shell on hellish damnation") ==
+      "a shell on hellish damnation") // substrings untouched
+    assert(m.scrubIn("damn山hell") == "<TOXIC>山<TOXIC>")
+    assert(m.scrubIn(null) == null)
+  }
+
   test("duplicate blocklist entries count once in BOTH tiers") {
     // "Damn" and "damn" are the same term after ASCII folding; an
     // un-deduped automaton would emit one hit per duplicate pattern while
