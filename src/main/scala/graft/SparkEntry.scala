@@ -472,6 +472,18 @@ object SparkEntry {
         graft.spark.QualityTrain.train(d, "text"))
     }),
 
+    // trained quality model IN the pipeline (Conf.qualityModel): weights
+    // from the documents table, applied over the pipeline pages as the
+    // lowest-priority "quality_model" drop — the native Catalyst score
+    // path on the line end-to-end, vs a CPython twin that recomputes
+    // train + featurize + dot with the same op order
+    "q_quality_pipeline" -> ((s, dir) => {
+      val w = graft.spark.QualityTrain.train(docs(s, dir), "text")
+      graft.spark.Pipeline.run(s, graft.spark.DataGen.pages(s, 2000).toDF(),
+          graft.spark.Pipeline.Conf(qualityModel = Some(w)))
+        .select(col("url"), col("keep"), col("drop_reason"), col("model_keep"))
+    }),
+
     // DECONTAMINATION: mark docs sharing any 13-gram with a benchmark set
     // (here: every 97th doc stands in for the eval set) — broadcast sorted
     // hash array + one narrow corpus scan; CPython twin recomputes hits
@@ -1297,6 +1309,13 @@ object SparkEntry {
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
+    // trained quality model in the pipeline: CPython retrains the
+    // 12-feature weights over documents and replays featurize + dot +
+    // lowest-priority attribution per page (gen_expected_pipeline.py)
+    "q_quality_pipeline" ->
+      ("SELECT url, keep, drop_reason, model_keep FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/quality_pipeline.parquet')"),
 
     // composed curation: the survivor url set, every stage recomputed
     // independently in CPython (pipeline chain, minhash banding,

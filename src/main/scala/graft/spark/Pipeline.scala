@@ -84,7 +84,18 @@ object Pipeline {
         * unchanged) and an `n_toxic` column is surfaced. Default off —
         * the reference pipeline is PII-only. */
       toxicity: Option[Seq[String]] = None,
-      toxicityMaxHits: Long = 0L) {
+      toxicityMaxHits: Long = 0L,
+      /** Optional TRAINED quality classifier ([[QualityTrain.train]] /
+        * [[QualityTrain.trainNg]] weights): when set, every doc gets a
+        * scored `model_keep` column and docs the model rejects (but no
+        * heuristic rule caught) drop with reason "quality_model" — the
+        * CCNet-style learned filter layered over the rule cascade. The
+        * 12-weight model scores NATIVELY off the already-computed quality
+        * struct + ppl (codegen, no extra text pass); the 28-weight
+        * hashed-n-gram model re-tokenizes in a broadcast-weights UDF.
+        * Lowest priority (after toxicity), so all reference-derived
+        * drop_reason attributions are unchanged. Default off. */
+      qualityModel: Option[Array[Double]] = None) {
     /** Effective level after the reference's deprecated_map collapse. */
     def effectiveLevel: SecurityLevel = SecurityLevel.collapse(security)
     /** main.py:241-245: model NER runs iff effective level != MAXIMUM. */
@@ -188,8 +199,35 @@ object Pipeline {
       case (Some(ws), None) => Toxicity.scrub(col("scrub.scrubbed"), ws)
       case _ => col("scrub.scrubbed")
     }
-    withStages
-      .withColumn("drop_reason", dropReasonFinal)
+    // trained quality model (CCNet-style learned filter; see Conf docs):
+    // materialized as a column FIRST so the drop_reason chain and the
+    // output share one computation; lowest-priority drop, after toxicity
+    val (withQm, dropReasonAll, qmCols) = conf.qualityModel match {
+      case Some(w) =>
+        val mk =
+          if (w.length == QualityTrain.NF)
+            QualityTrain.modelKeepColumn(w, col("q"), col("ppl"))
+          else {
+            require(w.length == QualityTrain.NFNg,
+              s"qualityModel must have ${QualityTrain.NF} or " +
+                s"${QualityTrain.NFNg} weights, got ${w.length}")
+            val bw = pages.sparkSession.sparkContext.broadcast(w)
+            val mkUdf = udf { (t: String, ppl: Double) =>
+              val text = if (t == null) "" else t
+              QualityTrain.predictKeep(bw.value,
+                QualityTrain.featurizeNg(text, ppl)._1)
+            }
+            mkUdf(col("text"), col("ppl"))
+          }
+        (withStages.withColumn("model_keep", mk),
+          when(dropReasonFinal =!= lit(""), dropReasonFinal)
+            .when(!col("model_keep"), "quality_model")
+            .otherwise(""),
+          Seq(col("model_keep")))
+      case None => (withStages, dropReasonFinal, Seq.empty[Column])
+    }
+    withQm
+      .withColumn("drop_reason", dropReasonAll)
       .withColumn("keep", col("drop_reason") === lit(""))
       .select(Seq(
         col("url"), col("warc_ts"), col("lang").as("lang_claimed"),
@@ -198,7 +236,7 @@ object Pipeline {
         col("keep"), col("drop_reason"),
         scrubbedOut.as("scrubbed_text"),
         col("scrub.aliases").as("alias_dict"),
-        col("scrub.counts").as("n_hits")) ++ nerCols ++ toxCols: _*)
+        col("scrub.counts").as("n_hits")) ++ nerCols ++ toxCols ++ qmCols: _*)
   }
 
   /** Training-pipeline order: exact-dedup the crawl BEFORE paying for

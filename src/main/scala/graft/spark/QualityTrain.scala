@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.{Perplexity, Quality}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -65,6 +65,42 @@ object QualityTrain {
     docs.select(featUdf(col(textCol)).as("fy"))
       .select(col("fy._1").as("f"), col("fy._2").as("y"))
   }
+
+  /** Native Catalyst mirror of [[featurize]]+[[predictKeep]] for the
+    * 12-feature model, over a quality-metrics struct column and a ppl
+    * column the pipeline has ALREADY computed — scoring a doc costs a few
+    * codegen'd arithmetic ops, no second tokenization pass. Bit-parity
+    * with the JVM loop: every quantization is the same IEEE double op
+    * (floor/least/long-cast), the dot product multiplies in index order
+    * and folds left-associatively exactly like [[predictKeep]], and
+    * long→double casts are exact at these magnitudes. Pinned by
+    * PipelineSpec against the UDF path and by the q_quality_pipeline
+    * CPython twin. */
+  def scoreColumn(w: Array[Double], q: Column, ppl: Column): Column = {
+    require(w.length == NF,
+      s"scoreColumn is the ${NF}-feature fast path, got ${w.length} weights" +
+        " — the hashed-n-gram model needs the UDF path (it re-tokenizes)")
+    val f: Seq[Column] = Seq(
+      lit(1000L),
+      floor(least(q("nChars"), lit(100000L)) / lit(100L)).cast("long"),
+      floor(least(q("nWords"), lit(20000L)) / lit(20L)).cast("long"),
+      least(floor(q("meanWordLen") * lit(50.0)).cast("long"), lit(1000L)),
+      floor(q("stopwordRatio") * lit(1000.0)).cast("long"),
+      floor(q("symbolRatio") * lit(1000.0)).cast("long"),
+      floor(q("dupLineFrac") * lit(1000.0)).cast("long"),
+      floor(q("dupWordFrac") * lit(1000.0)).cast("long"),
+      floor(q("alphaWordRatio") * lit(1000.0)).cast("long"),
+      least(q("maxWordLen"), lit(1000L)),
+      floor(q("cjkRatio") * lit(1000.0)).cast("long"),
+      least(floor(ppl).cast("long"), lit(1000L)))
+    f.zipWithIndex
+      .map { case (c, j) => lit(w(j)) * c.cast("double") }
+      .reduceLeft(_ + _)
+  }
+
+  /** Learned keep decision as a Column (see [[scoreColumn]]). */
+  def modelKeepColumn(w: Array[Double], q: Column, ppl: Column): Column =
+    scoreColumn(w, q, ppl) >= lit(0.0)
 
   /** Learned decision: keep iff w·f ≥ 0 (raw integer features; length-
     * generic so the hashed-n-gram weights apply through the same path). */

@@ -92,4 +92,72 @@ class QualityTrainSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ridge"))
   }
+
+  test("pipeline qualityModel: native score bit-matches predictKeep, " +
+      "model drops attributed lowest-priority, default conf unchanged") {
+    import org.apache.spark.sql.functions._
+    val pages = DataGen.pages(spark, 400).toDF()
+    val w = QualityTrain.train(
+      pages.select(col("text")), "text")
+    val out = Pipeline.run(spark, pages,
+      Pipeline.Conf(qualityModel = Some(w)))
+      .select("url", "ppl", "keep", "drop_reason", "model_keep")
+      .collect()
+    // driver-side recomputation through the JVM loop path: the native
+    // Catalyst score must agree on EVERY row (bit-parity of the dot)
+    val textOf = pages.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val pplModel = Perplexity.default
+    out.foreach { r =>
+      val t = textOf(r.getString(0))
+      val want = QualityTrain.predictKeep(w,
+        QualityTrain.featurize(t, pplModel.perplexity(t))._1)
+      assert(r.getBoolean(4) == want,
+        s"native score diverged from predictKeep for ${r.getString(0)}")
+      // attribution: quality_model appears iff the model alone rejects
+      if (r.getString(3) == "quality_model")
+        assert(!r.getBoolean(4), "quality_model drop but model_keep true")
+      if (r.getBoolean(2)) assert(r.getBoolean(4), "kept despite model drop")
+    }
+    // all-negative weights: every heuristically-kept doc must drop with
+    // reason quality_model; heuristic drops keep their original reason
+    val nuke = Array.fill(QualityTrain.NF)(-1.0)
+    val base = Pipeline.run(spark, pages)
+      .select("url", "keep", "drop_reason").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    Pipeline.run(spark, pages, Pipeline.Conf(qualityModel = Some(nuke)))
+      .select("url", "keep", "drop_reason").collect().foreach { r =>
+        val (hKeep, hReason) = base(r.getString(0))
+        assert(!r.getBoolean(1))
+        assert(r.getString(2) == (if (hKeep) "quality_model" else hReason),
+          s"attribution changed for ${r.getString(0)}")
+      }
+    // default conf: no model_keep column
+    assert(!Pipeline.run(spark, pages).columns.contains("model_keep"))
+  }
+
+  test("pipeline qualityModel: hashed-n-gram weights route through the " +
+      "UDF path and agree with the driver-side loop") {
+    import org.apache.spark.sql.functions._
+    val pages = DataGen.pages(spark, 200).toDF()
+    val w = QualityTrain.trainNg(pages.select(col("text")), "text")
+    assert(w.length == QualityTrain.NFNg)
+    val out = Pipeline.run(spark, pages,
+      Pipeline.Conf(qualityModel = Some(w)))
+      .select("url", "model_keep").collect()
+    val textOf = pages.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val pplModel = Perplexity.default
+    out.foreach { r =>
+      val t = textOf(r.getString(0))
+      val want = QualityTrain.predictKeep(w,
+        QualityTrain.featurizeNg(t, pplModel.perplexity(t))._1)
+      assert(r.getBoolean(1) == want, s"ng path diverged for ${r.getString(0)}")
+    }
+    // a 13-weight vector is neither model — must fail fast
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, pages,
+        Pipeline.Conf(qualityModel = Some(new Array[Double](13)))).collect()
+    }
+  }
 }

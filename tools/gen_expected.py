@@ -672,65 +672,14 @@ print(f"wrote {OUT}/decontam_report.parquet ({len(dcr_rows)} bench docs)")
 # then the SAME partial-pivot elimination, op for op — doubles are IEEE-
 # deterministic given identical operation order, so weights match the JVM
 # bit-for-bit.
-from twin_lib import metrics as qt_metrics, decide as qt_decide
+from twin_lib import (qt_featurize, qt_featurize_ng, qt_ridge_solve,
+                      QT_NF, QT_NAMES)
 
-QT_NF = 12
 QT_CW0 = 5       # dropClassWeight
 QT_RIDGE = 1.0
 
-def qt_featurize(text, ppl):
-    m = qt_metrics(text)
-    y = 1 if qt_decide(m, ppl)[0] else 0
-    f = [1000,
-         min(m["nChars"], 100000) // 100,
-         min(m["nWords"], 20000) // 20,
-         min(math.floor(m["meanWordLen"] * 50.0), 1000),
-         math.floor(m["stopwordRatio"] * 1000.0),
-         math.floor(m["symbolRatio"] * 1000.0),
-         math.floor(m["dupLineFrac"] * 1000.0),
-         math.floor(m["dupWordFrac"] * 1000.0),
-         math.floor(m["alphaWordRatio"] * 1000.0),
-         min(m["maxWordLen"], 1000),
-         math.floor(m["cjkRatio"] * 1000.0),
-         min(math.floor(ppl), 1000)]
-    return f, y
-
 qt_feats = [qt_featurize(t, perplexity(ppl_en, t)) for _, t in rows]
-qt_A = [[0] * QT_NF for _ in range(QT_NF)]
-qt_b = [0] * QT_NF
-for f, y in qt_feats:
-    ty = 2 * y - 1
-    cw = 1 if y == 1 else QT_CW0
-    for j in range(QT_NF):
-        qt_b[j] += cw * f[j] * ty
-        for k in range(j, QT_NF):
-            qt_A[j][k] += cw * f[j] * f[k]
-M = [[float(qt_A[j][k] if k >= j else qt_A[k][j]) / 1.0e6
-      for k in range(QT_NF)] for j in range(QT_NF)]
-for j in range(QT_NF):
-    M[j][j] = M[j][j] + QT_RIDGE
-v = [float(qt_b[j]) / 1.0e3 for j in range(QT_NF)]
-for col in range(QT_NF):
-    piv = col
-    for r in range(col + 1, QT_NF):
-        if abs(M[r][col]) > abs(M[piv][col]):
-            piv = r
-    M[col], M[piv] = M[piv], M[col]
-    v[col], v[piv] = v[piv], v[col]
-    d = M[col][col]
-    for r in range(col + 1, QT_NF):
-        fac = M[r][col] / d
-        for k in range(col, QT_NF):
-            M[r][k] = M[r][k] - fac * M[col][k]
-        v[r] = v[r] - fac * v[col]
-qt_w = [0.0] * QT_NF
-for r in range(QT_NF - 1, -1, -1):
-    s = v[r]
-    for k in range(r + 1, QT_NF):
-        s = s - M[r][k] * qt_w[k]
-    qt_w[r] = s / M[r][r]
-QT_NAMES = ["bias", "chars", "words", "mean_wlen", "stop", "sym", "dup_line",
-            "dup_word", "alpha", "max_wlen", "cjk", "ppl"]
+qt_w = qt_ridge_solve(qt_feats, QT_NF, QT_CW0, QT_RIDGE)
 pq.write_table(pa.table({
     "feature": pa.array(QT_NAMES, pa.string()),
     "w_micro": pa.array([math.floor(w * 1000000.0) for w in qt_w], pa.int64()),
@@ -759,55 +708,11 @@ print(f"wrote {OUT}/quality_apply.parquet ({qt_cm_items})")
 # bag-of-words bucket rates (1000*count // nTokens, bucket = unsigned
 # hash64(token) mod 16). Same exact-integer statistics and the identical
 # elimination, at nf = 28.
-QT_NG = 16
+from twin_lib import QT_NG
 QT_NF2 = QT_NF + QT_NG
 
-def qt_featurize_ng(text, ppl):
-    f, y = qt_featurize(text, ppl)
-    toks = tokens(text)
-    cnt = [0] * QT_NG
-    for tk in toks:
-        cnt[hash64(tk) % QT_NG] += 1
-    if toks:
-        f = f + [1000 * c // len(toks) for c in cnt]
-    else:
-        f = f + [0] * QT_NG
-    return f, y
-
 qt2_feats = [qt_featurize_ng(t, perplexity(ppl_en, t)) for _, t in rows]
-qt2_A = [[0] * QT_NF2 for _ in range(QT_NF2)]
-qt2_b = [0] * QT_NF2
-for f, y in qt2_feats:
-    ty = 2 * y - 1
-    cw = 1 if y == 1 else QT_CW0
-    for j in range(QT_NF2):
-        qt2_b[j] += cw * f[j] * ty
-        for k in range(j, QT_NF2):
-            qt2_A[j][k] += cw * f[j] * f[k]
-M2 = [[float(qt2_A[j][k] if k >= j else qt2_A[k][j]) / 1.0e6
-       for k in range(QT_NF2)] for j in range(QT_NF2)]
-for j in range(QT_NF2):
-    M2[j][j] = M2[j][j] + QT_RIDGE
-v2 = [float(qt2_b[j]) / 1.0e3 for j in range(QT_NF2)]
-for col in range(QT_NF2):
-    piv = col
-    for r in range(col + 1, QT_NF2):
-        if abs(M2[r][col]) > abs(M2[piv][col]):
-            piv = r
-    M2[col], M2[piv] = M2[piv], M2[col]
-    v2[col], v2[piv] = v2[piv], v2[col]
-    d = M2[col][col]
-    for r in range(col + 1, QT_NF2):
-        fac = M2[r][col] / d
-        for k in range(col, QT_NF2):
-            M2[r][k] = M2[r][k] - fac * M2[col][k]
-        v2[r] = v2[r] - fac * v2[col]
-qt2_w = [0.0] * QT_NF2
-for r in range(QT_NF2 - 1, -1, -1):
-    sacc = v2[r]
-    for k in range(r + 1, QT_NF2):
-        sacc = sacc - M2[r][k] * qt2_w[k]
-    qt2_w[r] = sacc / M2[r][r]
+qt2_w = qt_ridge_solve(qt2_feats, QT_NF2, QT_CW0, QT_RIDGE)
 QT2_NAMES = QT_NAMES + ["ng%d" % h for h in range(QT_NG)]
 pq.write_table(pa.table({
     "feature": pa.array(QT2_NAMES, pa.string()),

@@ -463,3 +463,31 @@ pq.write_table(pa.table({
     "n": pa.array([r[2] for r in ner_rows], pa.int64()),
 }), f"{OUT}/ner_train.parquet")
 print(f"wrote {OUT}/ner_train.parquet ({len(ner_rows)} features)")
+
+# ---------------------------------------------------------------------------
+# q_quality_pipeline expected: 12-feature weights trained over the sf0.01
+# documents table (the same solve the quality_train golden pins), applied
+# as the pipeline's lowest-priority "quality_model" drop over pages(2000).
+# Reuses the already-scored rows for the heuristic reasons; model_keep is
+# recomputed through the shared twin_lib featurize + dot (same op order as
+# QualityTrain.predictKeep and the native Catalyst scoreColumn).
+from twin_lib import qt_featurize, qt_ridge_solve, qt_predict_keep, QT_NF
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+qp_docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+qp_texts = qp_docs.column("text").to_pylist()
+qp_w = qt_ridge_solve(
+    [qt_featurize(t, perplexity(PPL, t)) for t in qp_texts], QT_NF)
+qp_rows = []
+for r, p in zip(rows, pages):
+    t = p[2]
+    mk = qt_predict_keep(qp_w, qt_featurize(t, perplexity(PPL, t))[0])
+    reason = r["drop_reason"] or ("" if mk else "quality_model")
+    qp_rows.append((r["url"], reason == "", reason, mk))
+pq.write_table(pa.table({
+    "url": pa.array([x[0] for x in qp_rows], pa.string()),
+    "keep": pa.array([x[1] for x in qp_rows], pa.bool_()),
+    "drop_reason": pa.array([x[2] for x in qp_rows], pa.string()),
+    "model_keep": pa.array([x[3] for x in qp_rows], pa.bool_()),
+}), f"{OUT}/quality_pipeline.parquet")
+print(f"wrote {OUT}/quality_pipeline.parquet "
+      f"({sum(1 for x in qp_rows if x[2] == 'quality_model')} model drops)")

@@ -313,3 +313,89 @@ def band_keys(sig, bands):
     return [((b << 32) | (scala_array_hash(sig[b * rows:(b + 1) * rows], b)
              & M32)) for b in range(bands)]
 
+
+# ---- QualityTrain twins (featurize / ridge solve / predict) -----------------
+# Shared by gen_expected.py (train/apply goldens) and
+# gen_expected_pipeline.py (q_quality_pipeline): ONE copy of the op-exact
+# quantization and the partial-pivot elimination, so the two generators
+# cannot drift. Doubles are IEEE-deterministic given identical op order,
+# matching the JVM solve bit-for-bit.
+import math as _math
+
+QT_NF = 12
+QT_NG = 16
+QT_NAMES = ["bias", "chars", "words", "mean_wlen", "stop", "sym", "dup_line",
+            "dup_word", "alpha", "max_wlen", "cjk", "ppl"]
+
+def qt_featurize(text, ppl):
+    m = metrics(text)
+    y = 1 if decide(m, ppl)[0] else 0
+    f = [1000,
+         min(m["nChars"], 100000) // 100,
+         min(m["nWords"], 20000) // 20,
+         min(_math.floor(m["meanWordLen"] * 50.0), 1000),
+         _math.floor(m["stopwordRatio"] * 1000.0),
+         _math.floor(m["symbolRatio"] * 1000.0),
+         _math.floor(m["dupLineFrac"] * 1000.0),
+         _math.floor(m["dupWordFrac"] * 1000.0),
+         _math.floor(m["alphaWordRatio"] * 1000.0),
+         min(m["maxWordLen"], 1000),
+         _math.floor(m["cjkRatio"] * 1000.0),
+         min(_math.floor(ppl), 1000)]
+    return f, y
+
+def qt_featurize_ng(text, ppl):
+    f, y = qt_featurize(text, ppl)
+    toks = tokens(text)
+    cnt = [0] * QT_NG
+    for tk in toks:
+        cnt[hash64(tk) % QT_NG] += 1
+    if toks:
+        f = f + [1000 * c // len(toks) for c in cnt]
+    else:
+        f = f + [0] * QT_NG
+    return f, y
+
+def qt_ridge_solve(feats, nf, drop_cw=5, ridge=1.0):
+    """Exact-integer normal equations + the SAME partial-pivot elimination
+    op order as QualityTrain.trainGeneric/solveInPlace."""
+    A = [[0] * nf for _ in range(nf)]
+    b = [0] * nf
+    for f, y in feats:
+        ty = 2 * y - 1
+        cw = 1 if y == 1 else drop_cw
+        for j in range(nf):
+            b[j] += cw * f[j] * ty
+            for k in range(j, nf):
+                A[j][k] += cw * f[j] * f[k]
+    M = [[float(A[j][k] if k >= j else A[k][j]) / 1.0e6
+          for k in range(nf)] for j in range(nf)]
+    for j in range(nf):
+        M[j][j] = M[j][j] + ridge
+    v = [float(b[j]) / 1.0e3 for j in range(nf)]
+    for col in range(nf):
+        piv = col
+        for r in range(col + 1, nf):
+            if abs(M[r][col]) > abs(M[piv][col]):
+                piv = r
+        M[col], M[piv] = M[piv], M[col]
+        v[col], v[piv] = v[piv], v[col]
+        d = M[col][col]
+        for r in range(col + 1, nf):
+            fac = M[r][col] / d
+            for k in range(col, nf):
+                M[r][k] = M[r][k] - fac * M[col][k]
+            v[r] = v[r] - fac * v[col]
+    w = [0.0] * nf
+    for r in range(nf - 1, -1, -1):
+        s = v[r]
+        for k in range(r + 1, nf):
+            s = s - M[r][k] * w[k]
+        w[r] = s / M[r][r]
+    return w
+
+def qt_predict_keep(w, f):
+    z = 0.0
+    for j in range(len(w)):
+        z += w[j] * f[j]
+    return z >= 0.0
