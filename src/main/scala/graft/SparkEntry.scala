@@ -44,6 +44,14 @@ object SparkEntry {
   /** Generate the streaming input fixture outside any timed window. */
   def prewarmStreamFixture(s: SparkSession): Unit = { streamFixtureDir(s); () }
 
+  /** Blocklist for the streaming gate row: DataGen filler words that occur
+    * in a SUBSET of generated pages (kappa: line 10+ of clean prose; rho:
+    * long docs only), so the toxicity extension fires on real pages
+    * without dropping everything (the pool prose contains no default-list
+    * words — a default-list run would pin an all-zeros vacuous row).
+    * Twin: gen_expected_pipeline.py TOX. */
+  private val StreamToxList = Seq("kappa", "rho")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -812,16 +820,19 @@ object SparkEntry {
       curated.select(col("url"))
     }),
 
-    // the STREAMING face through the driver gate: the same pages flow
-    // through readStream → Pipeline.run → writeStream (partitioned parquet,
-    // checkpointed, AvailableNow) and the materialized output must equal
-    // the BATCH pipeline twin row-for-row — the q_pipeline golden parquet
-    // is the oracle for both.
+    // the STREAMING face through the driver gate, at an ENABLED-EXTENSION
+    // configuration (toxicity on, with list words that really occur in the
+    // generated pages): the same pages flow through readStream →
+    // Pipeline.run → writeStream (partitioned parquet, checkpointed,
+    // AvailableNow) and the materialized output — including the toxicity
+    // drop attribution, count column, and post-PII mask — must equal the
+    // CPython batch twin row-for-row (pipeline_tox.parquet golden).
     "q_stream_pipeline" -> ((s, _) => {
       val in = streamFixtureDir(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
       val q = graft.spark.StreamingPipeline
-        .fileStream(s, in, s"$tmp/out", s"$tmp/ck")
+        .fileStream(s, in, s"$tmp/out", s"$tmp/ck",
+          Pipeline.Conf(toxicity = Some(StreamToxList)))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -1332,11 +1343,12 @@ object SparkEntry {
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_enhanced.parquet')"),
 
-    // the streaming run must converge to the BATCH pipeline's twin exactly
+    // the streaming run (toxicity extension ENABLED) must converge to the
+    // BATCH twin exactly, including the toxicity attribution/count/mask
     "q_stream_pipeline" ->
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
-        " drop_reason, scrubbed_text, warc_ms" +
-        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline.parquet')"),
+        " drop_reason, scrubbed_text, warc_ms, n_toxic" +
+        s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_tox.parquet')"),
 
   )
 

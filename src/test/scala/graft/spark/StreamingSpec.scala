@@ -33,6 +33,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming with every extension enabled equals the batch run") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // toxicity (filler words that occur in real pages) + ENHANCED model
+    // NER + trained quality model, all through the one shared Conf — pins
+    // that every optional stage is streaming-safe, not just the default
+    // plan (the trained tagger rides the same broadcast-UDF path the
+    // ENHANCED level exercises; CurationSpec pins its batch composition)
+    val pages = (0L until 300L).map(DataGen.pageFor(_))
+    val w = QualityTrain.train(pages.toDF().select(col("text")), "text")
+    val conf = Pipeline.Conf(
+      security = Pipeline.SecurityLevel.Enhanced,
+      toxicity = Some(Seq("kappa", "rho")),
+      qualityModel = Some(w))
+    val stream = MemoryStream[Page]
+    stream.addData(pages)
+    val cols = Seq("url", "keep", "drop_reason", "scrubbed_text",
+      "n_toxic", "model_keep")
+    val q = StreamingPipeline.run(spark, stream.toDF(), conf)
+      .writeStream.format("memory").queryName("scored_stream_ext")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    val streamed = snap(spark.table("scored_stream_ext"))
+    val batch = snap(Pipeline.run(spark, pages.toDF(), conf))
+    assert(streamed == batch)
+    assert(streamed.exists(_._5 > 0L), "no toxicity hits — vacuous pin")
+    assert(streamed.exists(!_._6), "no model drops — vacuous pin")
+  }
+
   test("stateful host sessionization closes sessions on event-time gaps") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -491,3 +491,39 @@ pq.write_table(pa.table({
 }), f"{OUT}/quality_pipeline.parquet")
 print(f"wrote {OUT}/quality_pipeline.parquet "
       f"({sum(1 for x in qp_rows if x[2] == 'quality_model')} model drops)")
+
+# ---------------------------------------------------------------------------
+# q_stream_pipeline expected (pipeline_tox.parquet): the streaming gate row
+# runs with toxicity ENABLED (list = DataGen filler words kappa/rho, which
+# occur in a subset of real generated pages). Same ASCII-boundary +
+# case-class pattern the Scala regex tier builds; count on RAW text, mask
+# applied AFTER the PII scrub, drop attributed lowest-priority — mirrors
+# Pipeline.run order exactly.
+TOX = ["kappa", "rho"]
+TOX_PAT = re.compile(
+    "(?<![A-Za-z0-9_])(?:" +
+    "|".join("".join(f"[{c.upper()}{c.lower()}]" for c in w) for w in TOX) +
+    ")(?![A-Za-z0-9_])")
+rows_t = []
+for r, p in zip(rows, pages):
+    t = p[2]
+    n_tox = len(TOX_PAT.findall(t))
+    reason = r["drop_reason"] or ("toxicity" if n_tox > 0 else "")
+    rows_t.append(dict(r, keep=(reason == ""), drop_reason=reason,
+                       scrubbed_text=TOX_PAT.sub("<TOXIC>", r["scrubbed_text"]),
+                       n_toxic=n_tox))
+pq.write_table(pa.table({
+    "url": pa.array([r["url"] for r in rows_t], pa.string()),
+    "lang_claimed": pa.array([r["lang_claimed"] for r in rows_t], pa.string()),
+    "lang_id": pa.array([r["lang_id"] for r in rows_t], pa.string()),
+    "conf_milli": pa.array([r["conf_milli"] for r in rows_t], pa.int64()),
+    "ppl_centi": pa.array([r["ppl_centi"] for r in rows_t], pa.int64()),
+    "keep": pa.array([r["keep"] for r in rows_t], pa.bool_()),
+    "drop_reason": pa.array([r["drop_reason"] for r in rows_t], pa.string()),
+    "scrubbed_text": pa.array([r["scrubbed_text"] for r in rows_t], pa.string()),
+    "warc_ms": pa.array([r["warc_ms"] for r in rows_t], pa.int64()),
+    "n_toxic": pa.array([r["n_toxic"] for r in rows_t], pa.int64()),
+}), f"{OUT}/pipeline_tox.parquet")
+print(f"wrote {OUT}/pipeline_tox.parquet "
+      f"({sum(1 for r in rows_t if r['drop_reason'] == 'toxicity')} toxicity drops, "
+      f"{sum(r['n_toxic'] for r in rows_t)} total hits)")
