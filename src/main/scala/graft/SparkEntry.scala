@@ -44,6 +44,25 @@ object SparkEntry {
   /** Generate the streaming input fixture outside any timed window. */
   def prewarmStreamFixture(s: SparkSession): Unit = { streamFixtureDir(s); () }
 
+  /** Deterministic url-fetch fixture (absolute path — the driver's DuckDB
+    * oracle reads the same files from an unknown cwd): plain ASCII
+    * tag-free files, so HtmlText.extract is the identity and the oracle
+    * can compare content verbatim. Rewritten (same bytes) on every call. */
+  private def urlFetchFixtureDir(): String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_gate_urlfetch")
+    java.nio.file.Files.createDirectories(dir)
+    val urls = (0 until 40).map { i =>
+      val body =
+        (s"graft url fetch fixture page $i payload ${i * i} end\n" * (1 + i % 3))
+      val f = dir.resolve(f"f$i%02d.txt")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      "file://" + f.toString
+    }
+    java.nio.file.Files.write(dir.resolve("manifest.txt"),
+      urls.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
   /** Blocklist for the streaming gate row: DataGen filler words that occur
     * in a SUBSET of generated pages (kappa: line 10+ of clean prose; rho:
     * long docs only), so the toxicity extension fires on real pages
@@ -845,6 +864,41 @@ object SparkEntry {
         .drop("ppl")
     }),
 
+    // the DSv2 URL-FETCH source through the driver gate (op 2): a
+    // manifest of file: urls splits into batch partitions, each reader
+    // fetches ITS files executor-side, rows land in the pages schema —
+    // the DuckDB oracle re-reads the same files with read_blob and must
+    // reproduce url/bytes/text verbatim (the stub's testable path)
+    "q_url_fetch" -> ((s, _) => {
+      val fdir = urlFetchFixtureDir()
+      s.read.format("graft.sources.UrlFetchSource")
+        .option("manifest", s"$fdir/manifest.txt")
+        .option("batchSize", "7").load()
+        .select(col("url"), unix_millis(col("warc_ts")).as("warc_ms"),
+          length(col("html")).cast("long").as("n_bytes"),
+          col("text"), col("lang"))
+    }),
+
+    // SINK LINEAGE through the driver gate (ops 6/27): a fresh resumable
+    // sink run over the scored pages, then the per-bucket ledger counts
+    // (written by the in-job accumulator tap, NO second pass) must equal
+    // a DuckDB groupBy over the data files the sink actually wrote —
+    // lineage is only lineage if it matches the bytes on disk
+    "q_sink_lineage" -> ((s, _) => {
+      val out = "/tmp/graft_gate_sink"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true) // fresh: lineage must regenerate
+      val scored = Pipeline.withBucket(
+        Pipeline.run(s, graft.spark.DataGen.pages(s, 2000).toDF()))
+      graft.spark.IcebergishSink.writeResumable(s, scored, out,
+        inputSnapshot = "gate")
+      import s.implicits._
+      graft.spark.IcebergishSink.readLineage(out)
+        .map(l => (l.bucket.toLong, l.rows, l.keepRows, l.hits))
+        .toDF("bucket", "n_rows", "n_keep", "n_hits_total")
+    }),
+
     // ENHANCED-level scrub (ops 13/14 merged into the redaction path): the
     // fused page_stages expression with ner=true — gazetteer model hits are
     // merged into the scrub span set and counted in n_hits. Exercised over
@@ -1320,6 +1374,23 @@ object SparkEntry {
       ("SELECT url, lang_claimed, lang_id, conf_milli, ppl_centi, keep," +
         " drop_reason, scrubbed_text, warc_ms" +
         s" FROM read_parquet('$GoldenDir/expected_sf0.01/pipeline_dedup.parquet')"),
+
+    // url-fetch: DuckDB re-reads the fixture files the manifest names
+    "q_url_fetch" ->
+      ("SELECT 'file://' || filename AS url," +
+        " CAST(1704067200000 AS BIGINT) AS warc_ms," +
+        " CAST(size AS BIGINT) AS n_bytes, decode(content) AS text," +
+        " 'und' AS lang FROM read_blob('/tmp/graft_gate_urlfetch/f*.txt')"),
+
+    // sink lineage: ledger counts vs a groupBy over the written data files
+    "q_sink_lineage" ->
+      ("SELECT CAST(part_bucket AS BIGINT) AS bucket," +
+        " count(*) AS n_rows," +
+        " CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep," +
+        " CAST(coalesce(sum(list_aggregate(map_values(n_hits), 'sum')), 0)" +
+        " AS BIGINT) AS n_hits_total" +
+        " FROM read_parquet('/tmp/graft_gate_sink/data/*/*.parquet'," +
+        " hive_partitioning=1) GROUP BY 1"),
 
     // trained quality model in the pipeline: CPython retrains the
     // 12-feature weights over documents and replays featurize + dot +
