@@ -20,6 +20,17 @@ object RefAlias {
   private val domains = Vector("example.dev", "example.com", "invalid.test")
   private val idPrefixes = Vector("USR", "ORD", "ACC")
 
+  /** The embedded stand-in locale data, exposed for the pinned-fixture
+    * test ONLY (golden/alias_wordlists.json + AliasWordlistSpec): these
+    * lists are a DOCUMENTED deviation from the reference's Faker ja_JP
+    * data (SURVEY §7.4, FIXTURES §8) and must never drift silently —
+    * editing any list requires regenerating the fixture in the same
+    * change, which makes the deviation's surface reviewable. */
+  def wordLists: Map[String, Vector[String]] = Map(
+    "domains" -> domains, "idPrefixes" -> idPrefixes,
+    "userWords" -> userWords, "familyNames" -> familyNames,
+    "givenNames" -> givenNames, "prefs" -> prefs, "cities" -> cities)
+
   // Our stand-in locale data for the Faker-backed branches.
   private val userWords = Vector(
     "sato", "suzuki", "takahashi", "tanaka", "ito", "watanabe", "yamamoto",
