@@ -36,9 +36,13 @@ object RunCuration {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
+    // SPARK_GRAFT_STAGE=<dir>: stage intermediates as parquet tables and
+    // run the dedup collapse with Materialize.Recompute — the 100-TB
+    // production shape (see Curation.curate stageDir)
+    val stageDir = sys.env.get("SPARK_GRAFT_STAGE").filter(_.nonEmpty)
     val (curated, report) = Curation.curate(spark,
       spark.read.parquet(in), Pipeline.Conf(scrubMode = scrubMode),
-      benchPath.map(p => spark.read.parquet(p)))
+      benchPath.map(p => spark.read.parquet(p)), stageDir = stageDir)
     curated.write.mode("overwrite").parquet(out)
     val sec = (System.nanoTime() - t0) / 1e9
     val stages = report.stageSec

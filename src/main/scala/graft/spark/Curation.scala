@@ -40,7 +40,16 @@ object Curation {
              conf: Pipeline.Conf = Pipeline.Conf(),
              benchmark: Option[DataFrame] = None,
              decontamK: Int = 13,
-             inputRows: Option[Long] = None): (DataFrame, Report) = {
+             inputRows: Option[Long] = None,
+             /** When set, intermediate relations (kept survivors, deduped
+               * survivors) are STAGED as parquet tables under this dir and
+               * the dedup collapse runs [[Dedup.Materialize.Recompute]] —
+               * the 100-TB production shape: no executor-memory
+               * materialization, every consumer re-scans the staged table,
+               * restarts resume from the last staged stage. Default (None)
+               * keeps the localCheckpoint shape, right for local mode and
+               * static-allocation batch. */
+             stageDir: Option[String] = None): (DataFrame, Report) = {
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -48,27 +57,43 @@ object Curation {
       secs.update(name, (System.nanoTime() - t0) / 1e9)
       r
     }
+    val materialize: Dedup.Materialize =
+      if (stageDir.isDefined) Dedup.Materialize.Recompute
+      else Dedup.Materialize.LocalCheckpoint
+    /** Stage a relation: parquet round-trip (production) or
+      * localCheckpoint (local default). Returns (frame, count) — the
+      * count rides the write in staged mode (one pass, not two). */
+    def stage(name: String, df: DataFrame): DataFrame = stageDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+        spark.read.parquet(s"$dir/$name")
+      case None => df.localCheckpoint(false)
+    }
     val input = inputRows.getOrElse(timed("input_count")(pages.count()))
     val scored = Pipeline.run(spark, pages, conf)
     // kept feeds three consumers (dedup signature pass, component seed,
-    // survivor join) — materialize once, lineage-truncated
-    val kept = scored.where(col("keep")).localCheckpoint(false)
-    val keptN = timed("pipeline")(kept.count())
+    // survivor join) — materialize once (checkpoint or staged table)
+    val (kept, keptN) = timed("pipeline") {
+      val k = stage("kept", scored.where(col("keep")))
+      (k, k.count())
+    }
 
     // bucket-star arcs, not verified pair mining: a curation pass collapses
     // whole near-dup CLUSTERS, and pairwise verification is quadratic per
     // clique (see Dedup.minHashBucketArcs — 41.6M candidate pairs on a
     // dup-heavy 50k-page corpus vs linear bucket arcs)
-    val arcs = Dedup.minHashBucketArcs(kept, "url", "scrubbed_text")
+    val arcs = Dedup.minHashBucketArcs(kept, "url", "scrubbed_text",
+      materialize = materialize)
     val labels = timed("near_dup")(
       Dedup.components(kept.select(col("url")), arcs, idCol = "url"))
     // comp is the hash-min label, so the representative is the row whose
     // id IS its component label
     val reps = labels.where(col("id") === col("comp"))
       .select(col("id").as("url"))
-    val deduped = kept.join(reps, Seq("url"), "left_semi")
-      .localCheckpoint(false)
-    val dedupN = timed("survivors")(deduped.count())
+    val (deduped, dedupN) = timed("survivors") {
+      val d = stage("deduped", kept.join(reps, Seq("url"), "left_semi"))
+      (d, d.count())
+    }
 
     benchmark match {
       case Some(b) =>

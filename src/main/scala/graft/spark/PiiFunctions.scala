@@ -100,7 +100,11 @@ object PiiFunctions {
           Scrub.scrubWithMode(scrubMode, t, keyB64, ns, policiesCsv)
         else Scrub.scrubWithModeNer(scrubMode, t, keyB64, ns, policiesCsv, modelHits)
       PageStages(l, c, p, m, d.scrubbed, d.aliases, d.counts, modelHits)
-    }
+      // nondeterministic = the duplication guard, not semantics (see
+      // PageStagesExpr.deterministic): without it a downstream
+      // .where(col("keep")) clones this whole UDF into the filter
+      // predicate once per struct-field reference (~19 evals/row measured)
+    }.asNondeterministic()
 
   /** Language ID with an explicitly broadcast model. */
   def langIdUdf(model: Broadcast[LangIdModel]) =

@@ -178,6 +178,18 @@ case class PageStagesExpr(child: Expression, mode: String, keyB64: String,
 
   override def dataType: DataType = PageStagesExpr.schema
   override def nullable: Boolean = false
+  /** Declared NONDETERMINISTIC although the computation is pure: this is
+    * the duplication guard, not a semantics statement (same idiom as the
+    * sink's accumulator tap). Deterministic + expensive is a Catalyst
+    * trap — CollapseProject inlines the expression into every struct-field
+    * reference and predicate pushdown clones it into FilterExec, where
+    * predicates get NO subexpression elimination. Measured on a 3M-doc
+    * curation: `Pipeline.run(..).where(col("keep"))` evaluated the fused
+    * stage ~19× per row (311 → 5,807 cpu-s). Nondeterminism pins the
+    * expression to its own projection: one evaluation per row, everything
+    * downstream reads struct fields. Values are identical either way, so
+    * task retries are still safe. */
+  override lazy val deterministic: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

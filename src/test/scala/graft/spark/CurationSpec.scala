@@ -95,4 +95,19 @@ class CurationSpec extends AnyFunSuite {
     val s2 = c2.select("url").collect().map(_.getString(0)).toSet
     assert(s1 == s2)
   }
+
+  test("staged Recompute mode (the 100-TB shape) yields identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur-stage").toString
+    val (cDefault, rDefault) = Curation.curate(spark, corpus)
+    val (cStaged, rStaged) = Curation.curate(spark, corpus,
+      stageDir = Some(dir))
+    val sD = cDefault.select("url").collect().map(_.getString(0)).toSet
+    val sS = cStaged.select("url").collect().map(_.getString(0)).toSet
+    assert(sD == sS, "staged survivors diverged from localCheckpoint mode")
+    assert((rDefault.input, rDefault.kept, rDefault.afterNearDup) ==
+      (rStaged.input, rStaged.kept, rStaged.afterNearDup))
+    // the staged tables exist and are re-readable (resume surface)
+    assert(spark.read.parquet(s"$dir/kept").count() == rStaged.kept)
+    assert(spark.read.parquet(s"$dir/deduped").count() == rStaged.afterNearDup)
+  }
 }
