@@ -159,29 +159,28 @@ object Pipeline {
     // toxicity (our extension — the reference is PII-only): lowest
     // priority, so every reference-derived drop_reason is attributed
     // exactly as before; the count column exists only when enabled
-    // Tier dispatch: small curated lists stay on the codegen'd regex
-    // union (oracle-able); anything past RegexTierMax takes the broadcast
-    // Aho-Corasick automaton, whose scan cost is independent of list size
-    // (the UT1/LDNOOBW shape). Both tiers implement the ONE pinned
-    // boundary/fold semantic, so the switch never changes results —
-    // ToxicitySpec pins the equivalence either way.
-    val toxMatcher: Option[Broadcast[Toxicity.Matcher]] = conf.toxicity match {
-      case Some(ws) if ws.size > Toxicity.RegexTierMax =>
-        Some(pages.sparkSession.sparkContext.broadcast(Toxicity.Matcher(ws)))
-      case _ => None
+    // The COUNT always takes the broadcast automaton, whatever the list
+    // size: its nondeterministic guard keeps the scan at ONE evaluation
+    // per row when downstream keep-filters would otherwise clone the
+    // expression into FilterExec (the page_stages lesson — a deterministic
+    // regex count fed the drop chain and was re-evaluated per reference;
+    // measured in CurAb kept_ext). The SCRUB tier-dispatches: the codegen
+    // regex replace for curated lists ≤ RegexTierMax (output-only column,
+    // never cloned into predicates), the automaton past it (list-size
+    // independent — the UT1/LDNOOBW shape). All tiers implement the ONE
+    // pinned boundary/fold semantic, so routing never changes results —
+    // ToxicitySpec pins the equivalence.
+    val toxMatcher: Option[Broadcast[Toxicity.Matcher]] = conf.toxicity.map {
+      ws => pages.sparkSession.sparkContext.broadcast(Toxicity.Matcher(ws))
     }
-    def toxCount(c: Column, ws: Seq[String]): Column = toxMatcher match {
-      case Some(b) => Toxicity.countUdf(b)(c)
-      case None => Toxicity.count(c, ws)
-    }
-    val (dropReasonFinal, toxCols) = conf.toxicity match {
-      case Some(ws) =>
-        val n = toxCount(col("text"), ws)
+    val (dropReasonFinal, toxCols) = (conf.toxicity, toxMatcher) match {
+      case (Some(_), Some(b)) =>
+        val n = Toxicity.countUdf(b)(col("text"))
         (when(dropReason =!= lit(""), dropReason)
           .when(Toxicity.dropFlag(n, conf.toxicityMaxHits), "toxicity")
           .otherwise(""),
           Seq(n.as("n_toxic")))
-      case None => (dropReason, Seq.empty[Column])
+      case _ => (dropReason, Seq.empty[Column])
     }
 
     // model-assisted NER (ENHANCED level, main.py:241-245): the hits are
@@ -195,8 +194,10 @@ object Pipeline {
     // north-rule's "PII/toxicity-scrub"); survivors under a lenient
     // toxicityMaxHits therefore never ship a listed term
     val scrubbedOut = (conf.toxicity, toxMatcher) match {
-      case (_, Some(b)) => Toxicity.scrubUdf(b)(col("scrub.scrubbed"))
-      case (Some(ws), None) => Toxicity.scrub(col("scrub.scrubbed"), ws)
+      case (Some(ws), Some(b)) =>
+        if (ws.size > Toxicity.RegexTierMax)
+          Toxicity.scrubUdf(b)(col("scrub.scrubbed"))
+        else Toxicity.scrub(col("scrub.scrubbed"), ws)
       case _ => col("scrub.scrubbed")
     }
     // trained quality model (CCNet-style learned filter; see Conf docs):
@@ -212,11 +213,13 @@ object Pipeline {
               s"qualityModel must have ${QualityTrain.NF} or " +
                 s"${QualityTrain.NFNg} weights, got ${w.length}")
             val bw = pages.sparkSession.sparkContext.broadcast(w)
+            // nondeterministic = duplication guard (the page_stages
+            // lesson): this re-tokenizes, and the drop chain references it
             val mkUdf = udf { (t: String, ppl: Double) =>
               val text = if (t == null) "" else t
               QualityTrain.predictKeep(bw.value,
                 QualityTrain.featurizeNg(text, ppl)._1)
-            }
+            }.asNondeterministic()
             mkUdf(col("text"), col("ppl"))
           }
         (withStages.withColumn("model_keep", mk),

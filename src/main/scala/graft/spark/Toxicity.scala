@@ -155,13 +155,15 @@ object Toxicity {
   }
 
   /** Automaton-tier count UDF (broadcast matcher — the 100-TB shape for
-    * LDNOOBW-scale lists). */
+    * LDNOOBW-scale lists). Nondeterministic = duplication guard, not
+    * semantics (see PageStagesExpr.deterministic): keep/drop predicates
+    * derived from this count must not clone the scan into FilterExec. */
   def countUdf(m: Broadcast[Matcher]) =
-    udf { (t: String) => m.value.countIn(t) }
+    udf { (t: String) => m.value.countIn(t) }.asNondeterministic()
 
   /** Automaton-tier scrub UDF (null in, null out — mirrors [[scrub]]). */
   def scrubUdf(m: Broadcast[Matcher], mask: String = "<TOXIC>") =
-    udf { (t: String) => m.value.scrubIn(t, mask) }
+    udf { (t: String) => m.value.scrubIn(t, mask) }.asNondeterministic()
 
   /** Above this list size the pipeline routes through the automaton tier:
     * a regex union's cost grows with the pattern while the automaton scan

@@ -39,6 +39,17 @@ object CurAb {
       Pipeline.run(s, pages).where(col("keep"))
         .write.mode("overwrite").parquet("/tmp/curab_kept")
     }
+    // every optional stage on + keep filter: catches duplication traps in
+    // the extension columns (toxicity count, model_keep) under pushdown
+    val w = graft.spark.QualityTrain.trainNg(
+      pages.select(col("text")).limit(20000), "text")
+    val conf = Pipeline.Conf(
+      toxicity = Some(Seq("kappa", "rho")),
+      qualityModel = Some(w))
+    time("kept_ext_noop") {
+      Pipeline.run(s, pages, conf).where(col("keep"))
+        .write.format("noop").mode("overwrite").save()
+    }
     s.stop()
   }
 }
