@@ -45,11 +45,18 @@ object Curation {
                * survivors) are STAGED as parquet tables under this dir and
                * the dedup collapse runs [[Dedup.Materialize.Recompute]] —
                * the 100-TB production shape: no executor-memory
-               * materialization, every consumer re-scans the staged table,
-               * restarts resume from the last staged stage. Default (None)
-               * keeps the localCheckpoint shape, right for local mode and
-               * static-allocation batch. */
-             stageDir: Option[String] = None): (DataFrame, Report) = {
+               * materialization, every consumer re-scans the staged table.
+               * Default (None) keeps the localCheckpoint shape, right for
+               * local mode and static-allocation batch. */
+             stageDir: Option[String] = None,
+             /** With `stageDir`: reuse a staged table whose `_SUCCESS`
+               * marker already exists instead of recomputing it — restart
+               * resume at stage granularity (the half-written victim of a
+               * crash has no marker and is rewritten). OFF by default: a
+               * stage dir left over from a DIFFERENT corpus would be
+               * silently wrong; opt in only when the caller owns the dir's
+               * lifecycle (the sink's ledger plays this role per-bucket). */
+             stageResume: Boolean = false): (DataFrame, Report) = {
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -65,8 +72,12 @@ object Curation {
       * count rides the write in staged mode (one pass, not two). */
     def stage(name: String, df: DataFrame): DataFrame = stageDir match {
       case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        spark.read.parquet(s"$dir/$name")
+        val path = s"$dir/$name"
+        val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!(stageResume && fs.exists(done)))
+          df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
       case None => df.localCheckpoint(false)
     }
     val input = inputRows.getOrElse(timed("input_count")(pages.count()))

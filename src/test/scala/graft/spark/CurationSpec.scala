@@ -109,5 +109,20 @@ class CurationSpec extends AnyFunSuite {
     // the staged tables exist and are re-readable (resume surface)
     assert(spark.read.parquet(s"$dir/kept").count() == rStaged.kept)
     assert(spark.read.parquet(s"$dir/deduped").count() == rStaged.afterNearDup)
+    // stageResume: a re-run reuses the committed stages (files untouched)
+    // and still returns identical results; default mode rewrites them
+    def mtime(p: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+    val t0 = mtime(s"$dir/kept")
+    val (cResumed, rResumed) = Curation.curate(spark, corpus,
+      stageDir = Some(dir), stageResume = true)
+    assert(mtime(s"$dir/kept") == t0, "resume rewrote a committed stage")
+    assert(cResumed.select("url").collect().map(_.getString(0)).toSet == sS)
+    assert(rResumed.kept == rStaged.kept)
+    val (_, rRewrit) = Curation.curate(spark, corpus, stageDir = Some(dir))
+    assert(mtime(s"$dir/kept") != t0, "default staged mode must rewrite")
+    assert(rRewrit.kept == rStaged.kept)
   }
 }
