@@ -51,8 +51,11 @@ object RunPipeline {
     // the write stage (bench knob; default = Conf default);
     // SPARK_GRAFT_SECURITY selects the reference's 4-level surface
     // (maximum default — model NER at enhanced/standard), and
-    // SPARK_GRAFT_TOXICITY=default enables the C4 blocklist stage
-    // (drop + output masking)
+    // SPARK_GRAFT_TOXICITY enables the C4 blocklist stage (drop + output
+    // masking): "default" = the placeholder list, "file:<path>" = a
+    // one-term-per-line UT1/LDNOOBW-format list loaded via the Hadoop FS
+    // API (hdfs/s3a ready; lists past 64 terms take the automaton tier
+    // automatically), anything else = an inline comma-separated list
     val conf = Pipeline.Conf(scrubMode = scrubMode,
       saltBuckets = sys.env.get("SPARK_GRAFT_SALT").map(_.toInt)
         .getOrElse(Pipeline.Conf().saltBuckets),
@@ -60,6 +63,8 @@ object RunPipeline {
         sys.env.getOrElse("SPARK_GRAFT_SECURITY", "maximum")),
       toxicity = sys.env.get("SPARK_GRAFT_TOXICITY").map {
         case "default" => graft.spark.Toxicity.DefaultList
+        case f if f.startsWith("file:") =>
+          graft.spark.Toxicity.loadList(spark, f.stripPrefix("file:"))
         case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       })
 

@@ -172,6 +172,25 @@ object Toxicity {
     * (UT1/LDNOOBW) are 10k-400k terms and MUST take the automaton. */
   val RegexTierMax = 64
 
+  /** Load a blocklist from a one-term-per-line file (the UT1/LDNOOBW
+    * distribution format) via the Hadoop FileSystem API, so production
+    * lists load from hdfs:///s3a:// exactly like every other model
+    * artifact. Blank lines and `#` comments are skipped; terms are
+    * ASCII-folded and deduped on load (list files routinely carry case
+    * duplicates). The list rides a broadcast from the caller — it is
+    * driver-side data, never a join side. */
+  def loadList(spark: org.apache.spark.sql.SparkSession,
+               path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(w => w.nonEmpty && !w.startsWith("#"))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toVector
+    } finally in.close()
+  }
+
   /** Deterministic UT1/LDNOOBW-scale placeholder list: `n` distinct
     * pseudo-words (3-5 syllables, pure [a-z]) from a fixed-seed splitmix64
     * stream. Stands in for a real curated blocklist — same size, same

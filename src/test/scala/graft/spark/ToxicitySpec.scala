@@ -127,6 +127,16 @@ class ToxicitySpec extends AnyFunSuite {
     assert(m.scrubIn(null) == null)
   }
 
+  test("loadList reads the UT1 one-term-per-line format, folds and dedupes") {
+    val f = java.nio.file.Files.createTempFile("graft-toxlist", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# comment line\ndamn\nDamn\n\n  hell  \ncrap\n#damn\nzot\n")
+    val ws = Toxicity.loadList(spark, f.toString)
+    assert(ws == Vector("damn", "hell", "crap", "zot"))
+    // loaded list drives both tiers like any other
+    assert(Toxicity.Matcher(ws).countIn("damn that Hell, zot!") == 3L)
+  }
+
   test("duplicate blocklist entries count once in BOTH tiers") {
     // "Damn" and "damn" are the same term after ASCII folding; an
     // un-deduped automaton would emit one hit per duplicate pattern while
