@@ -561,6 +561,25 @@ object SparkEntry {
         .withColumn("dropped", col("n_toxic") > 0)
     }),
 
+    // PER-LANGUAGE toxicity (the C4/UT1 shape): each doc screened against
+    // the list of its OWN identified language (same langid stage the
+    // q_langid golden pins), fallback "*" for unlisted languages. Lists
+    // are natural corpus words so hits are real; the oracle composes the
+    // VERIFIED langid golden with the token-equality twin per language.
+    "q_toxicity_bylang" -> ((s, dir) => {
+      val tox = graft.spark.Toxicity
+      val bank = Map("en" -> Seq("join", "hash"),
+        "de" -> Seq("window", "line"), "*" -> Seq("value"))
+      val bb = s.sparkContext.broadcast(tox.LangBank(bank))
+      val bl = s.sparkContext.broadcast(graft.core.LangId.default)
+      docs(s, dir)
+        .select(col("doc_id"),
+          PiiFunctions.langIdUdf(bl)(col("text")).getField("lang").as("lang_id"),
+          col("text"))
+        .select(col("doc_id"), col("lang_id"),
+          tox.countByLangUdf(bb)(col("lang_id"), col("text")).as("n_toxic"))
+    }),
+
     // decontam ATTRIBUTION (the inverse report): per BENCHMARK doc, how
     // many corpus docs share a 13-gram with it — over the planted-dup
     // corpus so real multi-doc leakage is on the line (bench doc 0 has an
@@ -1303,6 +1322,24 @@ object SparkEntry {
         " coalesce(h.n, 0) > 0 AS dropped" +
         " FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id")
     },
+
+    "q_toxicity_bylang" ->
+      // verified langid golden supplies lang_id; per-lang token-equality
+      // twin supplies counts (see q_toxicity_large for why token
+      // equality ≡ the pinned boundary semantics for plain-word terms)
+      ("WITH g AS (SELECT doc_id, lang_id FROM read_parquet(" +
+        s"'$GoldenDir/expected_sf0.01/langid.parquet'))," +
+        " tok AS (SELECT d.doc_id, unnest(regexp_extract_all(d.text," +
+        " '[A-Za-z0-9_]+')) AS tk FROM documents d)," +
+        " w AS (SELECT * FROM (VALUES ('en','join'),('en','hash')," +
+        "('de','window'),('de','line'),('*','value')) AS t(lg, w))," +
+        " eff AS (SELECT doc_id, CASE WHEN lang_id IN ('en','de')" +
+        " THEN lang_id ELSE '*' END AS lg FROM g)," +
+        " hits AS (SELECT e.doc_id, count(*) AS n FROM tok t" +
+        " JOIN eff e USING (doc_id) JOIN w ON w.lg = e.lg AND w.w = lower(t.tk)" +
+        " GROUP BY 1)" +
+        " SELECT g.doc_id, g.lang_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_toxic" +
+        " FROM g LEFT JOIN hits h USING (doc_id)"),
 
     "q_quality_train" ->
       ("SELECT feature, w_micro FROM read_parquet(" +

@@ -85,6 +85,13 @@ object Pipeline {
         * the reference pipeline is PII-only. */
       toxicity: Option[Seq[String]] = None,
       toxicityMaxHits: Long = 0L,
+      /** PER-LANGUAGE blocklists (the C4/UT1 production shape): each doc
+        * is screened against the list of its OWN identified language
+        * (`lang_id` from this pipeline's langid stage), via one broadcast
+        * [[Toxicity.LangBank]]. Key "*" is the fallback for languages
+        * without a list (omit it to skip them). Mutually exclusive with
+        * `toxicity` (which screens every doc against one list). */
+      toxicityByLang: Option[Map[String, Seq[String]]] = None,
       /** Optional TRAINED quality classifier ([[QualityTrain.train]] /
         * [[QualityTrain.trainNg]] weights): when set, every doc gets a
         * scored `model_keep` column and docs the model rejects (but no
@@ -170,17 +177,29 @@ object Pipeline {
     // independent — the UT1/LDNOOBW shape). All tiers implement the ONE
     // pinned boundary/fold semantic, so routing never changes results —
     // ToxicitySpec pins the equivalence.
+    require(conf.toxicity.isEmpty || conf.toxicityByLang.isEmpty,
+      "toxicity and toxicityByLang are mutually exclusive — put the " +
+        "global list under key \"*\" of toxicityByLang to combine")
     val toxMatcher: Option[Broadcast[Toxicity.Matcher]] = conf.toxicity.map {
       ws => pages.sparkSession.sparkContext.broadcast(Toxicity.Matcher(ws))
     }
-    val (dropReasonFinal, toxCols) = (conf.toxicity, toxMatcher) match {
-      case (Some(_), Some(b)) =>
-        val n = Toxicity.countUdf(b)(col("text"))
+    val toxBank: Option[Broadcast[Toxicity.LangBank]] = conf.toxicityByLang
+      .map(m => pages.sparkSession.sparkContext
+        .broadcast(Toxicity.LangBank(m)))
+    val toxCount: Option[Column] = (toxMatcher, toxBank) match {
+      case (Some(b), _) => Some(Toxicity.countUdf(b)(col("text")))
+      case (_, Some(b)) =>
+        // dispatch on the pipeline's OWN language id, not the claimed lang
+        Some(Toxicity.countByLangUdf(b)(col("lang_guess.lang"), col("text")))
+      case _ => None
+    }
+    val (dropReasonFinal, toxCols) = toxCount match {
+      case Some(n) =>
         (when(dropReason =!= lit(""), dropReason)
           .when(Toxicity.dropFlag(n, conf.toxicityMaxHits), "toxicity")
           .otherwise(""),
           Seq(n.as("n_toxic")))
-      case _ => (dropReason, Seq.empty[Column])
+      case None => (dropReason, Seq.empty[Column])
     }
 
     // model-assisted NER (ENHANCED level, main.py:241-245): the hits are
@@ -193,11 +212,13 @@ object Pipeline {
     // aliases from the fused stage, then the blocklist mask on top (the
     // north-rule's "PII/toxicity-scrub"); survivors under a lenient
     // toxicityMaxHits therefore never ship a listed term
-    val scrubbedOut = (conf.toxicity, toxMatcher) match {
-      case (Some(ws), Some(b)) =>
+    val scrubbedOut = (conf.toxicity, toxMatcher, toxBank) match {
+      case (Some(ws), Some(b), _) =>
         if (ws.size > Toxicity.RegexTierMax)
           Toxicity.scrubUdf(b)(col("scrub.scrubbed"))
         else Toxicity.scrub(col("scrub.scrubbed"), ws)
+      case (_, _, Some(b)) =>
+        Toxicity.scrubByLangUdf(b)(col("lang_guess.lang"), col("scrub.scrubbed"))
       case _ => col("scrub.scrubbed")
     }
     // trained quality model (CCNet-style learned filter; see Conf docs):

@@ -172,6 +172,36 @@ object Toxicity {
     * (UT1/LDNOOBW) are 10k-400k terms and MUST take the automaton. */
   val RegexTierMax = 64
 
+  /** Per-language matcher bank: the C4/UT1 production shape — curated
+    * blocklists are PER LANGUAGE, and a doc is screened against the list
+    * of the language it was identified as (screening every doc against
+    * every language's list both over-fires on cross-language homographs
+    * and costs |languages|× the scan). One compiled automaton per
+    * language rides a single broadcast; dispatch key is the pipeline's
+    * own `lang_id`. `default` (key "*") screens docs whose language has
+    * no list — pass an empty list to skip them instead. */
+  final case class LangBank(lists: Map[String, Seq[String]]) extends Serializable {
+    @transient private lazy val matchers: Map[String, Matcher] =
+      lists.collect { case (l, ws) if ws.nonEmpty => l -> Matcher(ws) }
+    private def matcherFor(lang: String): Option[Matcher] = {
+      val m = matchers.get(if (lang == null) "*" else lang)
+      if (m.isDefined) m else matchers.get("*")
+    }
+    def countIn(lang: String, t: String): Long =
+      matcherFor(lang).map(_.countIn(t)).getOrElse(0L)
+    def scrubIn(lang: String, t: String, mask: String = "<TOXIC>"): String =
+      matcherFor(lang).map(_.scrubIn(t, mask)).getOrElse(t)
+  }
+
+  /** Per-language count/scrub UDFs (broadcast bank; nondeterministic =
+    * the duplication guard, see [[countUdf]]). */
+  def countByLangUdf(b: Broadcast[LangBank]) =
+    udf { (lang: String, t: String) => b.value.countIn(lang, t) }
+      .asNondeterministic()
+  def scrubByLangUdf(b: Broadcast[LangBank], mask: String = "<TOXIC>") =
+    udf { (lang: String, t: String) => b.value.scrubIn(lang, t, mask) }
+      .asNondeterministic()
+
   /** Load a blocklist from a one-term-per-line file (the UT1/LDNOOBW
     * distribution format) via the Hadoop FileSystem API, so production
     * lists load from hdfs:///s3a:// exactly like every other model

@@ -127,6 +127,53 @@ class ToxicitySpec extends AnyFunSuite {
     assert(m.scrubIn(null) == null)
   }
 
+  test("per-language banks dispatch on the doc's own lang_id") {
+    import spark.implicits._
+    // en/ja/es prose (pool sentences the langid model classifies
+    // correctly), each planted with BOTH languages' terms — only the
+    // doc's OWN list may fire. The ja list is non-ASCII: the automaton
+    // tier takes arbitrary terms (ASCII boundaries delimit CJK runs).
+    val en = "The library opens at nine in the morning and closes at " +
+      "eight in the evening. Most readers scan the first damn page of a " +
+      "report クソ and move on to other work without any delay at all."
+    val ja = "図書館は朝九時に開いて夜八時に閉まります クソの damn 多くの読者は" +
+      "最初のページを読んでから他の仕事に移ります サポートチームは注文に関する質問に毎日答えています"
+    val es = "La mayoria de los lectores revisan la primera damn pagina " +
+      "y luego siguen con su trabajo. La biblioteca abre a las nueve de " +
+      "la manana y cierra a las ocho de la tarde cada dia sin falta."
+    val pages = Seq(
+      ("https://t.example/en", new java.sql.Timestamp(0L), Array.empty[Byte], en, "en"),
+      ("https://t.example/ja", new java.sql.Timestamp(0L), Array.empty[Byte], ja, "ja"),
+      ("https://t.example/es", new java.sql.Timestamp(0L), Array.empty[Byte], es, "es"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val bank = Map("en" -> Seq("damn"), "ja" -> Seq("クソ"))
+    val out = Pipeline.run(spark, pages, Pipeline.Conf(
+      toxicityByLang = Some(bank), toxicityMaxHits = 9L))
+      .select("url", "lang_id", "n_toxic", "scrubbed_text")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    val (enLang, enN, enS) = out("https://t.example/en")
+    assert(enLang == "en" && enN == 1L, s"en: $enLang/$enN")
+    assert(enS.contains("<TOXIC>") && enS.contains("クソ") && !enS.contains("damn"))
+    val (jaLang, jaN, jaS) = out("https://t.example/ja")
+    assert(jaLang == "ja" && jaN == 1L, s"ja: $jaLang/$jaN")
+    assert(jaS.contains("<TOXIC>") && jaS.contains("damn") && !jaS.contains("クソ"))
+    // es has no list and no fallback: untouched
+    val (esLang, esN, esS) = out("https://t.example/es")
+    assert(esLang == "es" && esN == 0L && esS.contains("damn"))
+    // "*" fallback covers the unlisted language
+    val withStar = Pipeline.run(spark, pages, Pipeline.Conf(
+      toxicityByLang = Some(bank + ("*" -> Seq("damn"))), toxicityMaxHits = 9L))
+      .where(col("url") === "https://t.example/es")
+      .select("n_toxic", "scrubbed_text").head()
+    assert(withStar.getLong(0) == 1L && withStar.getString(1).contains("<TOXIC>"))
+    // the two toxicity confs are mutually exclusive
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, pages, Pipeline.Conf(
+        toxicity = Some(Seq("damn")), toxicityByLang = Some(bank)))
+    }
+  }
+
   test("loadList reads the UT1 one-term-per-line format, folds and dedupes") {
     val f = java.nio.file.Files.createTempFile("graft-toxlist", ".txt")
     java.nio.file.Files.writeString(f,
