@@ -45,7 +45,10 @@ class StreamingSpec extends AnyFunSuite {
     val w = QualityTrain.train(pages.toDF().select(col("text")), "text")
     val conf = Pipeline.Conf(
       security = Pipeline.SecurityLevel.Enhanced,
-      toxicity = Some(Seq("kappa", "rho")),
+      // the per-language bank (with fallback) rather than the single
+      // list, so the LangBank dispatch is in the streaming pin too
+      toxicityByLang = Some(Map(
+        "en" -> Seq("kappa", "rho"), "*" -> Seq("kappa"))),
       qualityModel = Some(w))
     val stream = MemoryStream[Page]
     stream.addData(pages)
