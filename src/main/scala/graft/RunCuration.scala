@@ -40,8 +40,17 @@ object RunCuration {
     // run the dedup collapse with Materialize.Recompute — the 100-TB
     // production shape (see Curation.curate stageDir)
     val stageDir = sys.env.get("SPARK_GRAFT_STAGE").filter(_.nonEmpty)
+    // same toxicity surface as RunPipeline: "default", "file:<path>"
+    // (UT1 one-term-per-line via Hadoop FS), or an inline CSV list
+    val conf = Pipeline.Conf(scrubMode = scrubMode,
+      toxicity = sys.env.get("SPARK_GRAFT_TOXICITY").map {
+        case "default" => graft.spark.Toxicity.DefaultList
+        case f if f.startsWith("file:") =>
+          graft.spark.Toxicity.loadList(spark, f.stripPrefix("file:"))
+        case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      })
     val (curated, report) = Curation.curate(spark,
-      spark.read.parquet(in), Pipeline.Conf(scrubMode = scrubMode),
+      spark.read.parquet(in), conf,
       benchPath.map(p => spark.read.parquet(p)), stageDir = stageDir)
     curated.write.mode("overwrite").parquet(out)
     val sec = (System.nanoTime() - t0) / 1e9

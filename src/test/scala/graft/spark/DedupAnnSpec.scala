@@ -55,6 +55,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH cluster recall $recall over ${exact.size} true pairs")
   }
 
+  test("all three Materialize modes yield identical near-dup relations") {
+    def pairs(m: Dedup.Materialize) =
+      Dedup.minHashLsh(docsDedup, "doc_id", "text", 3, 128, 32, 0.7,
+        materialize = m)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def arcs(m: Dedup.Materialize) =
+      Dedup.minHashBucketArcs(docsDedup, "doc_id", "text", materialize = m)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(Dedup.Materialize.LocalCheckpoint)
+    assert(pairs(Dedup.Materialize.Persist) == base, "Persist diverged")
+    assert(pairs(Dedup.Materialize.Recompute) == base, "Recompute diverged")
+    val baseArcs = arcs(Dedup.Materialize.LocalCheckpoint)
+    assert(arcs(Dedup.Materialize.Persist) == baseArcs)
+    assert(arcs(Dedup.Materialize.Recompute) == baseArcs)
+  }
+
   test("mass duplicates: 10k copies yield k-1 linear arcs, not a k^2 band join") {
     import spark.implicits._
     val copies = (0L until 10000L).map(i => (i, "the same viral page text repeated everywhere"))
