@@ -241,4 +241,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("source") && !scan.contains("n_chars"),
       s"unused columns not pruned from scan: $scan")
   }
+
+  test("12-weight quality score is pure Catalyst: no UDF node, no exchange") {
+    val df = Pipeline.run(spark, spark.read.parquet(pagesPath),
+      Pipeline.Conf(qualityModel = Some(Array.fill(QualityTrain.NF)(1.0))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // the native page_stages expression is not a ScalaUDF; neither may the
+    // model score be — it must compile to plain arithmetic over the
+    // already-computed quality struct
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into the native plan:\n$plan")
+  }
+
+  test("per-language toxicity row prunes the documents scan to (doc_id, text)") {
+    val df = graft.SparkEntry.queries("q_toxicity_bylang")(
+      spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    assert(!scan.contains("source") && !scan.contains("n_chars"),
+      s"unused columns not pruned: $scan")
+  }
 }
