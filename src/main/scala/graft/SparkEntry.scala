@@ -35,7 +35,11 @@ object SparkEntry {
   private def streamFixtureDir(s: SparkSession): String = synchronized {
     if (streamFixture == null) {
       val in = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
-      DataGen.pages(s, 2000).toDF().write.mode("overwrite").parquet(in)
+      // ONE part file (rows identical, deterministic per id): the file
+      // streaming source lists and plans per file, and the AvailableNow
+      // round trip then runs one source task writing ≤ numBuckets output
+      // files instead of 32 tasks × buckets tiny files
+      DataGen.pages(s, 2000).toDF().coalesce(1).write.mode("overwrite").parquet(in)
       streamFixture = in
     }
     streamFixture
@@ -492,11 +496,16 @@ object SparkEntry {
 
     // the train→apply loop closed: score every doc with the learned
     // weights, cross-tab vs the heuristic labels (deterministic because
-    // the weights are)
+    // the weights are). The featurized relation (metrics + perplexity per
+    // doc — the only corpus-sized cost) is computed ONCE and shared by the
+    // train statistics and the apply cross-tab (localCheckpoint, ~100 B
+    // per doc), instead of two full featurize passes; weights and
+    // confusion counts are bit-identical (same f arrays, same op order).
     "q_quality_apply" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.spark.QualityTrain.confusion(d, "text",
-        graft.spark.QualityTrain.train(d, "text"))
+      val feats = graft.spark.QualityTrain.features(docs(s, dir), "text")
+        .localCheckpoint(true)
+      val w = graft.spark.QualityTrain.trainFromFeatures(feats)
+      graft.spark.QualityTrain.confusionFromFeatures(feats, w)
     }),
 
     // trained quality model IN the pipeline (Conf.qualityModel): weights

@@ -117,6 +117,31 @@ object QualityTrain {
             ridge: Double = 1.0): Array[Double] =
     trainGeneric(features(docs, textCol), NF, dropClassWeight, ridge)
 
+  /** Public face of [[trainGeneric]]: closed-form solve over an ALREADY
+    * featurized (f array<long>, y int) relation — lets a caller that needs
+    * both the weights AND a corpus-wide apply (e.g. q_quality_apply) share
+    * ONE featurize pass (metrics + perplexity per doc is the only
+    * corpus-sized cost) instead of re-featurizing per consumer. Identical
+    * op order to [[train]], so the weights are bit-identical. */
+  def trainFromFeatures(feats: DataFrame, nf: Int = NF,
+                        dropClassWeight: Long = 5L,
+                        ridge: Double = 1.0): Array[Double] =
+    trainGeneric(feats, nf, dropClassWeight, ridge)
+
+  /** [[confusion]] over an ALREADY featurized relation (see
+    * [[trainFromFeatures]]): same predictKeep/label math over the same f
+    * arrays, so the cross-tab is identical to the re-featurizing form. */
+  def confusionFromFeatures(feats: DataFrame, w: Array[Double]): DataFrame = {
+    val bw = feats.sparkSession.sparkContext.broadcast(w)
+    val predUdf = udf { (f: Seq[Long], y: Int) =>
+      (predictKeep(bw.value, f.toArray), y == 1)
+    }
+    feats.select(predUdf(col("f"), col("y")).as("p"))
+      .select(col("p._1").as("pred_keep"), col("p._2").as("heur_keep"))
+      .groupBy(col("pred_keep"), col("heur_keep"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Generic closed-form solve over a (f array<long>, y int) relation with
     * `nf` features — shared by the 12-feature model and the hashed-n-gram
     * variant; identical op order either way, so both stay twin-exact. */
