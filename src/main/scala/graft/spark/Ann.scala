@@ -401,7 +401,12 @@ object Ann {
     val old = new Path(path + ".rebuild-old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
-    // old index still serves reads while the new one materializes here
+    // old index still serves reads while the new one materializes here.
+    // RECOVERY NOTE: the swap below is two sequential renames, and they
+    // are copy+delete (not atomic) on object stores — a crash between them
+    // leaves no index at `path` with the previous data intact at
+    // `<path>.rebuild-old`; recover by renaming `.rebuild-old` back to
+    // `path` (or re-running rebuildIndex against it) before serving reads.
     writeIndex(ivfIndex(live, embCol, cents), cents, tmp.toString)
     require(fs.rename(p, old), s"rebuildIndex: rename $p -> $old failed")
     require(fs.rename(tmp, p), s"rebuildIndex: rename $tmp -> $p failed")

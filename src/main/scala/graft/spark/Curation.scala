@@ -68,8 +68,9 @@ object Curation {
       if (stageDir.isDefined) Dedup.Materialize.Recompute
       else Dedup.Materialize.LocalCheckpoint
     /** Stage a relation: parquet round-trip (production) or
-      * localCheckpoint (local default). Returns (frame, count) — the
-      * count rides the write in staged mode (one pass, not two). */
+      * localCheckpoint (local default). Returns the re-readable staged
+      * frame; callers count it with a cheap second action over the
+      * materialized table. */
     def stage(name: String, df: DataFrame): DataFrame = stageDir match {
       case Some(dir) =>
         val path = s"$dir/$name"

@@ -117,9 +117,11 @@ object Decontam {
     java.util.Arrays.sort(hashes)
     val owners: Array[Array[Long]] =
       hashes.map(h => byHash(h).map(_._2).distinct.sorted)
-    // ~16 B per (hash, owner) pair; past ~100 MB the executor broadcast is
-    // big enough to warn about (the 50M-pair default bound permits ~800 MB)
-    val approxBytes = (hashes.length.toLong + benchRows.length.toLong) * 8L
+    // ~8 B per hash + ~8 B per stored owner entry (the owner arrays
+    // DOMINATE on dup-heavy benchmarks and must be in the estimate); past
+    // ~100 MB the executor broadcast is big enough to warn about
+    val approxBytes =
+      hashes.length.toLong * 8L + owners.iterator.map(_.length.toLong).sum * 8L
     if (approxBytes > 100L * 1024 * 1024)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Decontam.report broadcast ~${approxBytes / (1024 * 1024)} MB " +

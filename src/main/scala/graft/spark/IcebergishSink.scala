@@ -62,11 +62,27 @@ object IcebergishSink {
   private def dataDir(out: String): Path = new Path(out, "data")
 
   /** Hadoop conf of the active session when one exists (so fs.s3a.* /
-    * fs.defaultFS settings apply); a bare Configuration otherwise. */
+    * fs.defaultFS settings apply); a bare Configuration otherwise.
+    * CACHED per session (one-slot, identity-keyed): `newHadoopConf()`
+    * copies the whole SQLConf into a fresh Configuration (~30 ms), and the
+    * metadata layer calls this once per ledger/lineage file — at 64
+    * buckets the per-call copies alone were ~2 s of the sink gate row and
+    * grow O(buckets) at scale. The snapshot semantics are per SESSION:
+    * hadoop/fs settings changed mid-session after the first sink call are
+    * not picked up (set them before writing, as spark-submit does). */
+  @volatile private var cachedConf: (SparkSession, Configuration) = _
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val conf = s.sessionState.newHadoopConf()
+          cachedConf = (s, conf)
+          conf
+        }
+      case None => new Configuration()
+    }
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
@@ -180,6 +196,22 @@ object IcebergishSink {
       }.sortBy(_.bucket)
   }
 
+  /** FileContext per (scheme, authority), cached: `getFileContext`
+    * constructs a fresh AbstractFileSystem per call (config re-parse,
+    * ~30 ms on the local FS) and the ledger writes one metadata file per
+    * bucket — at 64 buckets the per-call construction alone was 2.2 s of
+    * the gate row, and at production bucket counts it is O(buckets) driver
+    * time for identical context objects. FileContext is thread-safe and
+    * carries no per-path state; cached per filesystem it is built once.
+    * (Caveat: the first caller's Hadoop conf wins for a given scheme —
+    * fine here, every caller passes the session conf.) */
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FileContext]()
+  private def fileContextFor(uri: java.net.URI): org.apache.hadoop.fs.FileContext =
+    fcCache.computeIfAbsent(
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
+      _ => org.apache.hadoop.fs.FileContext.getFileContext(uri, hadoopConf))
+
   /** Commit-once metadata write: content to a `.tmp` sibling, then an
     * ATOMIC-OVERWRITE rename over the target (FileContext + Rename.OVERWRITE
     * — atomic on HDFS and local FS, so there is never a window where an
@@ -195,8 +227,17 @@ object IcebergishSink {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val outS = fs.create(tmp, true)
     try outS.write(content.getBytes(UTF_8)) finally outS.close()
+    // Fast path: plain FileSystem.rename — atomic on HDFS and the local FS
+    // and sufficient whenever the target does not exist yet, which is the
+    // COMMON case for this sink's commit-once metadata (ledger entries and
+    // snapshot manifests are only ever created). The FileContext overwrite
+    // rename below is kept for the target-exists case only: it constructs
+    // per-call state deep in the Hadoop local-FS layer (measured ~28 ms
+    // PER RENAME vs ~0.2 ms for FileSystem.rename — 1.8 s of the 64-bucket
+    // ledger, O(buckets) at scale).
+    if (fs.rename(tmp, path)) return
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+      val fc = fileContextFor(path.toUri)
       fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
@@ -242,11 +283,19 @@ object IcebergishSink {
     val all = 0 until conf.numBuckets
     val todo = all.filterNot(done)
     val snapshotId = java.util.UUID.randomUUID().toString
+    val dbg = sys.env.contains("GRAFT_SINK_DEBUG")
+    var dbgT = System.nanoTime()
+    def lap(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[sinkdbg] $name%-12s ${(now - dbgT) / 1e9}%.2f s")
+      dbgT = now
+    }
 
     if (todo.nonEmpty) {
       // uncommitted bucket dirs are leftovers of an interrupted run — remove
       // them so re-append cannot duplicate rows
       todo.foreach(b => deleteRecursively(new Path(dataDir(out), s"part_bucket=$b")))
+      lap("cleanup")
 
       val subset = input.where(col("part_bucket").isin(todo: _*))
 
@@ -279,6 +328,7 @@ object IcebergishSink {
         .option("parquet.enable.dictionary#scrubbed_text", "false")
         .option("parquet.enable.dictionary#url", "false")
         .parquet(dataDir(out).toString)
+      lap("write-job")
 
       val stats = {
         val b = Map.newBuilder[Int, (Long, Long, Long)]
@@ -299,6 +349,7 @@ object IcebergishSink {
             s""""input_snapshot":"$inputSnapshot","rule_version":"$RuleVersion",""" +
             s""""completed_ms":$now}""")
       }
+      lap("ledger")
     }
 
     val lineage = readLineage(out)

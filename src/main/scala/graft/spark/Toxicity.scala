@@ -91,55 +91,73 @@ object Toxicity {
     * ASCII-only folding is deliberate: full-Unicode toLowerCase would
     * both fold characters the regex tiers do not (U+212A KELVIN → k) and
     * change string LENGTH (U+0130 → two chars), shifting every offset. */
+  /** ASCII-only case fold, shared by the Matcher scan AND list loading —
+    * ONE normalization for the whole tier (a full-Unicode toLowerCase at
+    * load time would both fold characters the scan does not and change
+    * string LENGTH for e.g. U+0130, producing terms that can never match). */
+  private[spark] def asciiLower(s: String): String = {
+    val b = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      b(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(b)
+  }
+
   final case class Matcher(words: Seq[String]) extends Serializable {
     // dedupe after folding — mirrors union(); see the comment there
-    @transient private lazy val lowered = words.map(asciiLower).distinct.toArray
+    @transient private lazy val lowered =
+      words.map(Toxicity.asciiLower).distinct.toArray
     @transient private lazy val ac = new AhoCorasick(lowered)
     private def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'
-    private def asciiLower(s: String): String = {
-      val b = new Array[Char](s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        b(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-        i += 1
-      }
-      new String(b)
-    }
 
-    /** Count of ASCII-boundary-delimited occurrences (ASCII-folded). */
-    def countIn(t: String): Long = {
-      if (t == null) return 0L
-      val lower = asciiLower(t)
-      var n = 0L
+    /** Boundary-valid spans sorted by start — the ONE span set count and
+      * scrub both consume, so they cannot diverge on overlapping hits
+      * (plain ASCII word terms cannot overlap, but automaton-only term
+      * shapes — CJK, multi-word phrases — can). Returns null when empty
+      * (the common web-doc case; avoids the buffer allocation). */
+    private def validSpans(lower: String): scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
+      var spans: scala.collection.mutable.ArrayBuffer[(Int, Int)] = null
       ac.findAll(lower).foreach { case (pi, end) =>
         val start = end - lowered(pi).length
         if ((start == 0 || !isWord(lower.charAt(start - 1))) &&
-            (end == lower.length || !isWord(lower.charAt(end))))
-          n += 1
+            (end == lower.length || !isWord(lower.charAt(end)))) {
+          if (spans == null)
+            spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          spans += ((start, end))
+        }
+      }
+      spans
+    }
+
+    /** Count of the ACCEPTED (non-overlapping, left-to-right) spans — the
+      * exact set [[scrubIn]] masks, so count and scrub agree by
+      * construction for every term shape. For plain-word lists this equals
+      * the all-occurrences count (valid hits cannot overlap). */
+    def countIn(t: String): Long = {
+      if (t == null) return 0L
+      val spans = validSpans(asciiLower(t))
+      if (spans == null) return 0L
+      val sorted = spans.sortBy(_._1)
+      var n = 0L
+      var pos = 0
+      sorted.foreach { case (s0, e0) =>
+        if (s0 >= pos) { n += 1; pos = e0 }
       }
       n
     }
 
-    /** Mask every boundary-valid occurrence in place — the automaton twin
-      * of [[Toxicity.scrub]]. Valid hits cannot overlap (terms are plain
-      * words, so a valid hit is a whole [A-Za-z0-9_] token and one token
-      * equals at most one deduped term), but the merge is defensive
-      * anyway. ASCII folding preserves length, so lowered offsets index
-      * the original text directly. */
+    /** Mask every accepted span in place — the automaton twin of
+      * [[Toxicity.scrub]]. ASCII folding preserves length, so lowered
+      * offsets index the original text directly. */
     def scrubIn(t: String, mask: String = "<TOXIC>"): String = {
       if (t == null) return null
-      val lower = asciiLower(t)
-      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      ac.findAll(lower).foreach { case (pi, end) =>
-        val start = end - lowered(pi).length
-        if ((start == 0 || !isWord(lower.charAt(start - 1))) &&
-            (end == lower.length || !isWord(lower.charAt(end))))
-          spans += ((start, end))
-      }
-      if (spans.isEmpty) return t
+      val spans = validSpans(asciiLower(t))
+      if (spans == null) return t
       val sorted = spans.sortBy(_._1)
       val sb = new java.lang.StringBuilder(t.length)
       var pos = 0
@@ -215,9 +233,14 @@ object Toxicity {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     try {
+      // asciiLower, NOT Locale.ROOT toLowerCase: load-time normalization
+      // must be the same fold the Matcher applies at match time — a full-
+      // Unicode lowercase mangles terms the scan will never fold the same
+      // way (and can change term length, e.g. U+0130), silently weakening
+      // per-language screening
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(w => w.nonEmpty && !w.startsWith("#"))
-        .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toVector
+        .map(asciiLower).distinct.toVector
     } finally in.close()
   }
 

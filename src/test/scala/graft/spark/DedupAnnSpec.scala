@@ -225,6 +225,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out.size == 1000 && out.values.forall(_ == 0L))
   }
 
+  test("components: driver union-find and distributed hash-min loop agree") {
+    import spark.implicits._
+    // chain + triangle + singletons, run through BOTH execution paths:
+    // the default small-graph driver union-find, and the RDD loop forced
+    // by a zero driver threshold (keeps the at-scale path covered)
+    val nodes = (1L to 11L).toDF("id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (8L, 7L), (9L, 8L), (7L, 9L)).toDF("a", "b")
+    val viaDriver = Dedup.components(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    try {
+      val viaLoop = Dedup.components(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaLoop)
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+  }
+
+  test("simhash mass duplicates: 3k identical copies collapse before the chunk join") {
+    import spark.implicits._
+    // 3k identical texts + one distinct: the chunk equi-join must see TWO
+    // distinct texts (the collapse guard), while the OUTPUT contract —
+    // every within-group pair at distance 0 — is preserved by expansion
+    val copies = (0L until 3000L).map(i => (i, "the same viral page text repeated everywhere"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((20000L, "a completely different document about rivers"))
+        .toDF("doc_id", "text"))
+    val out = Dedup.simHashDups(copies, "doc_id", "text", 3)
+    assert(out.where(col("dist") =!= 0).count() == 0L)
+    assert(out.count() == 3000L * 2999L / 2L)
+  }
+
   test("components: chains need multiple propagation rounds; singletons keep themselves") {
     import spark.implicits._
     // a 6-node chain (diameter 5 — forces >1 hash-min round), a triangle,

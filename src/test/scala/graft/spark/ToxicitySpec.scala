@@ -199,6 +199,20 @@ class ToxicitySpec extends AnyFunSuite {
     assert(viaRegex == 2L, "regex tier diverged under duplicates")
   }
 
+  test("automaton count equals the number of masked spans for overlapping term shapes") {
+    // CJK terms have no ASCII word boundaries, so occurrences can OVERLAP
+    // — count and scrub must agree on the one accepted (non-overlapping,
+    // left-to-right) span set, not diverge (count-all vs mask-subset)
+    val m = Toxicity.Matcher(Seq("ああ"))
+    assert(m.countIn("あああ") == 1L)
+    assert(m.scrubIn("あああ") == "<TOXIC>あ")
+    assert(m.countIn("ああああ") == 2L)
+    assert(m.scrubIn("ああああ") == "<TOXIC><TOXIC>")
+    // plain ASCII words cannot overlap: count remains all-occurrences
+    val w = Toxicity.Matcher(Seq("damn"))
+    assert(w.countIn("damn damn DAMN") == 3L)
+  }
+
   test("automaton tier agrees with the regex tier on every case") {
     val m = Toxicity.Matcher(Toxicity.DefaultList)
     cases.foreach { case (in, want) =>
