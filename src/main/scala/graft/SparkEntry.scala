@@ -458,12 +458,19 @@ object SparkEntry {
 
     // tokenizer APPLY: encode the corpus with the learned merge table
     // (lowest-rank-pair-first, all occurrences) → vocabulary-sized token
-    // frequency relation; per-partition pure-memo word cache
+    // frequency relation. ONE corpus tokenization pass: the full word-
+    // frequency dict (minCount 1, localCheckpoint) feeds BOTH the merge
+    // training (its ≥2 filter applied on top — same dict as before) and
+    // the encode, which runs once per DISTINCT word weighted by its count
+    // (identical counts to the per-occurrence pass, vocabulary-sized
+    // shuffle instead of corpus-sized).
     "q_bpe_encode" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val merges = graft.spark.BpeTrain.trainMerges(d, "text", numMerges = 50)
+      val wcAll = graft.spark.BpeTrain.wordCounts(docs(s, dir), "text",
+        minCount = 1L).localCheckpoint(true)
+      val merges = graft.spark.BpeTrain
+        .trainMergesFromCounts(wcAll.where(col("n") >= 2L), numMerges = 50)
         .map { case (_, l, r, _) => (l, r) }
-      graft.spark.BpeTrain.encodeCounts(d, "text", merges)
+      graft.spark.BpeTrain.encodeCountsFromWordCounts(wcAll, merges)
     }),
 
     // LM TRAINING: distributed trigram counting (per-doc context reset,

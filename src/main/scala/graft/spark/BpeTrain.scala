@@ -210,8 +210,15 @@ object BpeTrain {
     * Seq (rank order). */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
                   minCount: Long = 2L,
-                  maxTypes: Int = 1000000): Seq[(Int, String, String, Long)] = {
-    val wc = wordCounts(df, textCol, minCount)
+                  maxTypes: Int = 1000000): Seq[(Int, String, String, Long)] =
+    trainMergesFromCounts(wordCounts(df, textCol, minCount), numMerges, maxTypes)
+
+  /** [[trainMerges]] over an ALREADY computed (w, n) word-frequency dict —
+    * lets a caller that also needs the dict for encoding share ONE corpus
+    * tokenization pass. Same bounded collect, same canonical sort, so the
+    * merge table is identical. */
+  def trainMergesFromCounts(wc: DataFrame, numMerges: Int,
+                            maxTypes: Int = 1000000): Seq[(Int, String, String, Long)] = {
     // cap the transfer BEFORE collecting: at most maxTypes+1 rows reach
     // the driver, so the bound fires as an exception, not an OOM
     val types = wc.limit(maxTypes + 1).collect()
@@ -223,6 +230,23 @@ object BpeTrain {
     // result order-independent, but sort anyway so the input is canonical
     val dict = types.sortBy(t => (t._1, t._2)).toSeq
     learnMerges(dict, numMerges)
+  }
+
+  /** Corpus-wide BPE token frequencies from a FULL word-frequency dict
+    * (minCount = 1 — every occurrence must be represented): each DISTINCT
+    * word is encoded once and contributes its tokens weighted by its
+    * count, so `count(token) = Σ_w n_w · occurrences(token, encode(w))` —
+    * exactly [[encodeCounts]]'s per-occurrence result, with the explode +
+    * shuffle shrunk from corpus-sized (every token occurrence) to
+    * VOCABULARY-sized, and the encode UDF run once per distinct word
+    * (Zipf repetition handled by arithmetic instead of a memo cache). */
+  def encodeCountsFromWordCounts(wordFreq: DataFrame,
+                                 merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val b = wordFreq.sparkSession.sparkContext.broadcast(ranks)
+    val encodeUdf = udf { w: String => encodeWord(w, b.value) }
+    wordFreq.select(explode(encodeUdf(col("w"))).as("token"), col("n"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
   }
 
   /** End-to-end: merge table as a relation (driver-contract face). */
