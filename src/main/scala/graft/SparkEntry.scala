@@ -884,9 +884,13 @@ object SparkEntry {
     "q_stream_pipeline" -> ((s, _) => {
       val in = streamFixtureDir(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      // numBuckets sized to the 2000-row fixture (guide-style output file
+      // sizing): the default 64 dirs from ONE source task is 64 serial
+      // parquet writer inits for ~31 rows each. part_bucket is dropped
+      // from the compared output, so the row values are unchanged.
       val q = graft.spark.StreamingPipeline
         .fileStream(s, in, s"$tmp/out", s"$tmp/ck",
-          Pipeline.Conf(toxicity = Some(StreamToxList)))
+          Pipeline.Conf(toxicity = Some(StreamToxList), numBuckets = 8))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
