@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at local[32], measured)
   "-XX:+UseParallelGC",
   "-XX:+AlwaysPreTouch",
-) ++ sys.env.get("SPARK_GRAFT_YOUNG").map(y => s"-Xmn$y").toSeq
+) ++ sys.env.get("SPARK_GRAFT_YOUNG").map(y => s"-Xmn$y").toSeq ++
+  // ad-hoc forked-JVM flags for dev runs (e.g. -Dspark.graft.* conf
+  // overrides) — the sbt twin of spark-submit's --conf/--driver-java-options
+  sys.env.get("SPARK_GRAFT_OPTS").map(_.trim.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -282,7 +282,7 @@ object Dedup {
     // driver-side), NOT scale-derived from core count, so the same job
     // picks the same path at any parallelism.
     val driverMaxEdges =
-      spark.conf.get("graft.cc.driverMaxEdges", "2000000").toLong
+      spark.conf.get("spark.graft.cc.driverMaxEdges", "2000000").toLong
     if (edgeCount <= driverMaxEdges) {
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {

@@ -236,12 +236,12 @@ class DedupAnnSpec extends AnyFunSuite {
       (8L, 7L), (9L, 8L), (7L, 9L)).toDF("a", "b")
     val viaDriver = Dedup.components(nodes, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     try {
       val viaLoop = Dedup.components(nodes, edges).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaDriver == viaLoop)
-    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
   }
 
   test("simhash mass duplicates: 3k identical copies collapse before the chunk join") {
