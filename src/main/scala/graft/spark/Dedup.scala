@@ -427,15 +427,15 @@ object Dedup {
     * scale weakness): identical texts share every chunk value, so k exact
     * copies of one page would put k rows in each of its 4 chunk buckets and
     * the equi-join would manufacture k²/2 shuffled candidate rows PER
-    * CHUNK. This operator therefore exact-collapses first (min-id
-    * representative per md5 digest, simhash computed map-side — the
-    * shuffle carries (digest, sh, ids), never text) and only DISTINCT
-    * texts enter the chunk join. The all-pairs OUTPUT contract is
-    * preserved exactly: identical texts have identical simhash, so
-    * within-group pairs are emitted at distance 0 by a narrow double
-    * explode (no shuffle — quadratic only in the OUTPUT rows the contract
-    * requires), and a qualifying representative pair (rA, rB) expands to
-    * every (x ∈ A, y ∈ B) member pair at the reps' distance. As the
+    * CHUNK. This operator therefore collapses first — min-id
+    * representative per simhash VALUE, computed map-side, so the shuffle
+    * carries (sh, ids), never text — and only distinct simhashes enter
+    * the chunk join. The all-pairs OUTPUT contract is preserved exactly:
+    * equal simhash ⇒ distance 0, so within-group pairs are emitted at
+    * distance 0 by a narrow double explode (no shuffle — quadratic only
+    * in the OUTPUT rows the contract requires), and a qualifying
+    * representative pair (rA, rB) expands to every (x ∈ A, y ∈ B) member
+    * pair at the reps' distance. As the
     * backstop against floods of near-identical-but-DISTINCT texts (short
     * docs, boilerplate — simhash concentrates), chunk buckets over
     * `maxChunkBucket` distinct members are dropped from candidate mining
@@ -445,17 +445,18 @@ object Dedup {
                   maxDist: Int = 3, maxChunkBucket: Int = 4096,
                   materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole is complete only to distance 3")
-    // exact-collapse: one aggregation over one scan; first(sh) is
-    // deterministic (identical digest ⇒ identical text ⇒ identical simhash)
+    // collapse on the simhash VALUE itself (not an md5 text digest — the
+    // pair distance depends only on sh, so two DISTINCT texts sharing a
+    // simhash are still correctly all-paired at distance 0 by the intra
+    // expansion below): one aggregation over one scan, 8-byte group key
     val grouped = materialized(
-      df.select(md5(col(textCol)).as("digest"), col(idCol).as("__id"),
+      df.select(col(idCol).as("__id"),
           PiiFunctions.simHashUdf(col(textCol)).as("sh"))
-        .groupBy(col("digest"))
-        .agg(min(col("__id")).as("rep"), first(col("sh")).as("sh"),
-          collect_list(col("__id")).as("ids")),
+        .groupBy(col("sh"))
+        .agg(min(col("__id")).as("rep"), collect_list(col("__id")).as("ids")),
       materialize)
-    // within-group pairs: identical text ⇒ hamming distance 0; every pair
-    // (a < b) — generated narrowly from the grouped row, never joined
+    // within-group pairs: identical simhash ⇒ hamming distance 0; every
+    // pair (a < b) — generated narrowly from the grouped row, never joined
     val intra = grouped.where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
