@@ -43,16 +43,30 @@ object TextDedup {
     * shingle, then `numHashes` cheap (a_i·h + b_i) permutations — versus
     * murmur-ing every shingle string numHashes times (~50× less string
     * traversal). Empty docs get a sentinel signature (Int.MaxValue). */
+  // per-thread scratch for minHash shingle dedup (same pattern as the
+  // quality scan's reused tables — no per-document allocation)
+  private val mhSeen =
+    ThreadLocal.withInitial[LongHashSet](() => new LongHashSet(256))
+
   def minHash(text: String, k: Int, numHashes: Int): Array[Int] = {
     require(numHashes <= 256, "extend HashA/HashB for more hash functions")
     val sig = Array.fill(numHashes)(Int.MaxValue)
+    val seen = mhSeen.get()
+    seen.clear()
     shingles(text, k).foreach { s =>
       val h = hash64(s)
-      var i = 0
-      while (i < numHashes) {
-        val v = (HashA(i) * h + HashB(i)) >>> 32
-        if (v.toInt < sig(i)) sig(i) = v.toInt
-        i += 1
+      // a REPEATED shingle hash contributes the identical numHashes
+      // candidate values (they depend only on h), so skipping it cannot
+      // change any minimum — signatures are bit-identical, and the inner
+      // loop runs once per DISTINCT shingle instead of once per occurrence
+      // (repetitive docs are exactly the ones dedup exists for)
+      if (seen.add(h)) {
+        var i = 0
+        while (i < numHashes) {
+          val v = (HashA(i) * h + HashB(i)) >>> 32
+          if (v.toInt < sig(i)) sig(i) = v.toInt
+          i += 1
+        }
       }
     }
     sig
