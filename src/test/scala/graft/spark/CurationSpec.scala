@@ -125,4 +125,35 @@ class CurationSpec extends AnyFunSuite {
     assert(mtime(s"$dir/kept") != t0, "default staged mode must rewrite")
     assert(rRewrit.kept == rStaged.kept)
   }
+
+  test("crash-mid-stage resume: the stage missing its _SUCCESS is rewritten, " +
+    "committed stages are not recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur-crash").toString
+    val (cFull, rFull) = Curation.curate(spark, corpus, stageDir = Some(dir))
+    val sFull = cFull.select("url").collect().map(_.getString(0)).toSet
+    def mtime(p: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+    val tKept = mtime(s"$dir/kept")
+    val tDedup = mtime(s"$dir/deduped")
+    // simulate a crash between stages: the LATER stage lost its commit
+    // marker (a half-written victim has no _SUCCESS), the earlier one
+    // committed cleanly
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/deduped/_SUCCESS"))
+    val (cRes, rRes) = Curation.curate(spark, corpus,
+      stageDir = Some(dir), stageResume = true)
+    assert(mtime(s"$dir/kept") == tKept,
+      "resume recomputed an already-committed stage")
+    assert(mtime(s"$dir/deduped") != tDedup,
+      "the crashed (marker-less) stage must be rewritten")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/deduped/_SUCCESS")),
+      "the rewritten stage must be committed")
+    assert(cRes.select("url").collect().map(_.getString(0)).toSet == sFull,
+      "post-crash resume changed the survivor set")
+    assert((rRes.input, rRes.kept, rRes.afterNearDup) ==
+      (rFull.input, rFull.kept, rFull.afterNearDup))
+  }
 }
